@@ -1,0 +1,518 @@
+"""Driver-checked operator queries (SURVEY.md §2) + DuckDB oracles.
+
+Every SQL-expressible operator has a `QUERIES[name](sf_dir)` callable
+returning a Dataset / pyarrow Table and a matching `ORACLE_SQL[name]`
+string; column names match exactly (the driver sorts columns by name
+and value-hashes). Non-SQL ops (the KG pipeline itself, sketch-based
+dedup, …) have no oracle entry → rows-only check.
+
+Float determinism: aggregate money as exact int64 cents
+(`ops.cents`), keep sums integer, and derive any ratio with a single
+identical division on both sides — floating SUM order differs between
+Ray and DuckDB, integer SUM does not.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from . import ops
+
+NUM_JOIN_PARTITIONS = 8  # sized for sf0.01-0.1 single-node; 2-4x CPUs at scale
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _one_row(**cols) -> pa.Table:
+    return pa.table({k: pa.array([v], type=pa.int64()) for k, v in cols.items()})
+
+
+# ---------------------------------------------------------------------------
+# A2/A3: grouped aggregate with per-batch combiner semantics (TPC-H Q1 shape)
+
+def q_pricing_summary(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        price = b["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False)
+        disc_cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": b["l_quantity"],
+                "base_cents": ops.cents(b["l_extendedprice"]),
+                "disc_cents": pa.array(disc_cents, type=pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return out
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# J1: broadcast dimension join customer x nation x region
+
+def q_region_stats(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    dim = nation.join(region, keys=["n_regionkey"], right_keys=["r_regionkey"])
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c_nationkey": b["c_nationkey"], "bal_cents": ops.cents(b["c_acctbal"])}
+        )
+
+    joined = ops.broadcast_join(
+        cust.map_batches(prep, batch_format="pyarrow"),
+        dim.select(["n_nationkey", "r_name"]),
+        keys=["c_nationkey"],
+        right_keys=["n_nationkey"],
+    )
+    return joined.groupby("r_name").aggregate(
+        Count(alias_name="n_customers"),
+        Sum("bal_cents", alias_name="sum_bal_cents"),
+    )
+
+
+SQL_REGION_STATS = """
+SELECT r_name,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_bal_cents
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# J2: large-large hash-partitioned join (Ray Data native Dataset.join)
+
+def q_segment_orders(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": b["o_custkey"], "total_cents": ops.cents(b["o_totalprice"])}
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = ops.hash_join(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        cust,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        num_partitions=NUM_JOIN_PARTITIONS,
+    )
+    return joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("total_cents", alias_name="sum_total_cents"),
+    )
+
+
+SQL_SEGMENT_ORDERS = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# J3: semi / anti joins via broadcast key sets
+
+def _order_custkeys(sf_dir: str) -> set:
+    keys = _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    return set(keys)
+
+
+def q_custs_with_orders(sf_dir: str):
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    sel = ops.semi_join_filter(cust, "c_custkey", _order_custkeys(sf_dir))
+    return sel.groupby("c_mktsegment").aggregate(Count(alias_name="n"))
+
+
+SQL_CUSTS_WITH_ORDERS = """
+SELECT c_mktsegment, COUNT(*) AS n FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
+def q_custs_without_orders(sf_dir: str):
+    """Anti join: customers with no high-value (>350k) order."""
+    import pyarrow.compute as _pc
+
+    big = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda b: b.filter(_pc.greater(b["o_totalprice"], 350000.0)),
+            batch_format="pyarrow",
+        )
+        .unique("o_custkey")
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    sel = ops.anti_join_filter(cust, "c_custkey", set(big))
+    return sel.groupby("c_mktsegment").aggregate(Count(alias_name="n"))
+
+
+SQL_CUSTS_WITHOUT_ORDERS = """
+SELECT c_mktsegment, COUNT(*) AS n FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
+GROUP BY c_mktsegment
+"""
+
+
+# O2: global top-k
+
+def q_top_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ops.topk(ds, ["o_totalprice", "o_orderkey"], 10, descending=[True, False])
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# A5/U2: distinct
+
+def q_distinct_user_event(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return ops.distinct(ds, ["user_id", "event_type"])
+
+
+SQL_DISTINCT_USER_EVENT = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+# F1/M6: vectorized string functions
+
+def q_string_funcs(sf_dir: str):
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def f(b: pa.Table) -> pa.Table:
+        name = b["c_name"]
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "name_lower": pc.utf8_lower(name),
+                "name_len": pc.cast(pc.utf8_length(name), pa.int64()),
+                "digits": pc.replace_substring_regex(name, pattern="[^0-9]", replacement=""),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_STRING_FUNCS = """
+SELECT c_custkey, LOWER(c_name) AS name_lower,
+       CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+       REGEXP_REPLACE(c_name, '[^0-9]', '', 'g') AS digits
+FROM customer
+"""
+
+
+# F3: date functions + grouped agg
+
+def q_orders_by_year(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "year": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+                "total_cents": ops.cents(b["o_totalprice"]),
+            }
+        )
+
+    return (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("year")
+        .aggregate(Count(alias_name="n_orders"), Sum("total_cents", alias_name="sum_total_cents"))
+    )
+
+
+SQL_ORDERS_BY_YEAR = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_total_cents
+FROM orders GROUP BY 1
+"""
+
+
+# F6: json extraction
+
+def q_json_props(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ks = []
+        for p in b["props"].to_pylist():
+            try:
+                v = json.loads(p).get("k") if p else None
+            except Exception:
+                v = None
+            ks.append(v if isinstance(v, int) else None)
+        return pa.table({"event_type": b["event_type"], "k": pa.array(ks, type=pa.int64())})
+
+    return (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# A4: explicit salted two-phase aggregation (skew-aware)
+
+def q_salted_events_agg(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": b["event_type"], "value_cents": ops.cents(b["value"])}
+        )
+
+    return ops.salted_groupby(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["event_type"],
+        sums=[("value_cents", "sum_value_cents")],
+        count_alias="n",
+        nsalt=16,
+    )
+
+
+SQL_SALTED_EVENTS_AGG = """
+SELECT event_type,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# U1: union
+
+def q_union_names(sf_dir: str):
+    c = _read(sf_dir, "customer", ["c_name"]).rename_columns(["name"])
+    s = _read(sf_dir, "supplier", ["s_name"]).rename_columns(["name"])
+    return _one_row(n=c.union(s).count())
+
+
+SQL_UNION_NAMES = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n FROM
+(SELECT c_name AS name FROM customer UNION ALL SELECT s_name FROM supplier)
+"""
+
+
+# streaming-shaped: tumbling window counts (groupby on truncated ts)
+
+def q_events_tumbling_hour(sf_dir: str):
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": pc.floor_temporal(b["ts"], unit="hour"),
+                "event_type": b["event_type"],
+                "value_cents": ops.cents(b["value"]),
+            }
+        )
+
+    return (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
+SQL_EVENTS_TUMBLING_HOUR = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+# M3/F5: explode (flat map) + re-aggregate
+
+def q_doc_token_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        doc_ids, toks = [], []
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            for tok in (t or "").split(" "):
+                if len(tok) > 3:
+                    doc_ids.append(d)
+                    toks.append(tok)
+        return pa.table(
+            {"doc_id": pa.array(doc_ids, type=pa.int64()), "tok": pa.array(toks)}
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_tokens"))
+    )
+
+
+SQL_DOC_TOKEN_COUNTS = """
+SELECT doc_id, CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 3)) AS BIGINT) AS n_tokens
+FROM documents
+WHERE LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> LENGTH(x) > 3)) > 0
+"""
+
+
+# exact text dedup count
+
+def q_distinct_texts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["text"])
+    return _one_row(n_unique=ops.distinct(ds, ["text"]).count())
+
+
+SQL_DISTINCT_TEXTS = "SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique FROM documents"
+
+
+# token counting via regex (BPE-ish word/number split)
+
+def q_doc_regex_tokens(sf_dir: str):
+    import re
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pat = re.compile(r"[A-Za-z]+|[0-9]+")
+
+    def f(b: pa.Table) -> pa.Table:
+        ns = [len(pat.findall(t or "")) for t in b["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": b["doc_id"], "n_word_tokens": pa.array(ns, type=pa.int64())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_DOC_REGEX_TOKENS = """
+SELECT doc_id, CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+')) AS BIGINT) AS n_word_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (non-SQL -> rows-only driver check)
+
+def _kg_scale(sf_dir: str) -> str:
+    if "0.001" in sf_dir:
+        return "tiny"
+    if "0.1" in sf_dir:
+        return "bench"
+    return "smoke"
+
+
+def q_kg_triples(sf_dir: str):
+    from . import fixtures, pipeline
+
+    corpus = pipeline.read_corpus(fixtures.corpus_path(_kg_scale(sf_dir)))
+    return pipeline.build_triples(corpus, fixtures.vocab_path())
+
+
+def q_kg_mentions(sf_dir: str):
+    from . import fixtures, pipeline
+
+    corpus = pipeline.read_corpus(fixtures.corpus_path(_kg_scale(sf_dir)))
+    return pipeline.build_mentions(corpus, with_sha=False)
+
+
+def q_kg_canonical(sf_dir: str):
+    from . import fixtures, pipeline
+    from .canonicalize import canonical_table
+
+    corpus = pipeline.read_corpus(fixtures.corpus_path(_kg_scale(sf_dir)))
+    linked = pipeline.build_linked(
+        pipeline.build_mentions(corpus, with_sha=False), fixtures.vocab_path()
+    )
+    return canonical_table(linked)
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "region_stats": q_region_stats,
+    "segment_orders": q_segment_orders,
+    "custs_with_orders": q_custs_with_orders,
+    "custs_without_orders": q_custs_without_orders,
+    "top_orders": q_top_orders,
+    "distinct_user_event": q_distinct_user_event,
+    "string_funcs": q_string_funcs,
+    "orders_by_year": q_orders_by_year,
+    "json_props": q_json_props,
+    "salted_events_agg": q_salted_events_agg,
+    "union_names": q_union_names,
+    "events_tumbling_hour": q_events_tumbling_hour,
+    "doc_token_counts": q_doc_token_counts,
+    "distinct_texts": q_distinct_texts,
+    "doc_regex_tokens": q_doc_regex_tokens,
+    "kg_triples": q_kg_triples,
+    "kg_mentions": q_kg_mentions,
+    "kg_canonical": q_kg_canonical,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": SQL_PRICING,
+    "region_stats": SQL_REGION_STATS,
+    "segment_orders": SQL_SEGMENT_ORDERS,
+    "custs_with_orders": SQL_CUSTS_WITH_ORDERS,
+    "custs_without_orders": SQL_CUSTS_WITHOUT_ORDERS,
+    "top_orders": SQL_TOP_ORDERS,
+    "distinct_user_event": SQL_DISTINCT_USER_EVENT,
+    "string_funcs": SQL_STRING_FUNCS,
+    "orders_by_year": SQL_ORDERS_BY_YEAR,
+    "json_props": SQL_JSON_PROPS,
+    "salted_events_agg": SQL_SALTED_EVENTS_AGG,
+    "union_names": SQL_UNION_NAMES,
+    "events_tumbling_hour": SQL_EVENTS_TUMBLING_HOUR,
+    "doc_token_counts": SQL_DOC_TOKEN_COUNTS,
+    "distinct_texts": SQL_DISTINCT_TEXTS,
+    "doc_regex_tokens": SQL_DOC_REGEX_TOKENS,
+}

@@ -1,0 +1,91 @@
+"""End-to-end gates (SURVEY.md §5.2/5.3): P/R ≥ 0.95 vs the independent
+sequential oracle, and the per-row sha256 invariant."""
+
+from __future__ import annotations
+
+import pyarrow.compute as pc
+import pytest
+
+import ray.data
+
+from kgray import pipeline
+
+
+@pytest.fixture(scope="module")
+def engine_triples(ray_session, tiny_corpus, vocab_file):
+    corpus = ray.data.from_arrow(tiny_corpus)
+    ds = pipeline.build_triples(corpus, vocab_file, concurrency=2)
+    tbl = ds.sort(["subj", "pred", "obj"]).to_pandas()
+    return set(zip(tbl["subj"], tbl["pred"], tbl["obj"])), tbl
+
+
+def test_precision_recall(engine_triples, oracle_result):
+    ours, _ = engine_triples
+    golden_tbl = oracle_result["triples"]
+    golden = set(
+        zip(
+            golden_tbl["subj"].to_pylist(),
+            golden_tbl["pred"].to_pylist(),
+            golden_tbl["obj"].to_pylist(),
+        )
+    )
+    assert len(golden) > 1000  # fixture sanity: a real triple set
+    tp = len(ours & golden)
+    precision = tp / max(1, len(ours))
+    recall = tp / max(1, len(golden))
+    # contract: >= 0.95; the spec is deterministic so we hold it to 1.0
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    assert ours == golden, (
+        f"P={precision:.4f} R={recall:.4f}; "
+        f"only_ours={sorted(ours - golden)[:5]} only_golden={sorted(golden - ours)[:5]}"
+    )
+
+
+def test_triples_distinct_and_bucketed(engine_triples):
+    _, tbl = engine_triples
+    assert not tbl.duplicated(subset=["subj", "pred", "obj"]).any()
+    assert set(tbl.columns) == {"subj", "pred", "obj", "bucket"}
+    assert tbl["bucket"].between(0, 63).all()
+    assert tbl["pred"].isin(
+        ["dc:creator", "dc:title", "dcterms:date", "mo:instrument", "owl:sameAs", "edm:isRelatedTo"]
+    ).all()
+
+
+def test_sha_invariant(ray_session, tiny_corpus, oracle_result):
+    """Engine content_sha256 equals the oracle's for 100% of rows."""
+    corpus = ray.data.from_arrow(tiny_corpus)
+    out = corpus.map_batches(
+        lambda b: b, batch_format="pyarrow"
+    )  # passthrough to exercise the Dataset path
+    from kgray.stages import with_sha
+
+    sha_tbl = out.map_batches(with_sha, batch_format="pyarrow").to_pandas()
+    keys = sha_tbl["repo"] + "/" + sha_tbl["path"] + "@" + sha_tbl["commit"]
+    golden = oracle_result["shas"]
+    assert len(sha_tbl) == len(golden)
+    mismatches = sum(
+        1 for k, s in zip(keys, sha_tbl["content_sha256"]) if golden[k] != s
+    )
+    assert mismatches == 0
+
+
+def test_canonical_table_agrees(ray_session, tiny_corpus, vocab_file, oracle_result):
+    """Engine canonicalization aggregate == oracle canonical map (spec §7)."""
+    from kgray.canonicalize import canonical_table
+
+    corpus = ray.data.from_arrow(tiny_corpus)
+    linked = pipeline.build_linked(
+        pipeline.build_mentions(corpus, with_sha=False), vocab_file, concurrency=2
+    )
+    canon = canonical_table(linked).to_pandas()
+    got = {
+        (r.mention_type, r.norm): r.canonical_uri
+        for r in canon.itertuples()
+        if r.mention_type != "date"
+    }
+    want = oracle_result["canonical"]
+    assert got == {k: v for k, v in want.items()}
+    assert (canon["n_mentions"] > 0).all()
+    # skew sanity: the Zipf head (bach) must dominate
+    agents = canon[canon["mention_type"] == "agent"]
+    assert agents["n_mentions"].max() > 5 * agents["n_mentions"].median()

@@ -1,0 +1,105 @@
+"""Driver-style oracle checks: run each QUERIES[name] on Ray and its
+ORACLE_SQL[name] on DuckDB over the same parquet, compare row count,
+schema (column names) and EXACT values after canonical ordering —
+stricter than the driver's order-insensitive value-hash."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def _to_df(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def _compare(name, ray_df, sql_df):
+    assert sorted(ray_df.columns) == sorted(sql_df.columns), (
+        f"{name}: columns {sorted(ray_df.columns)} vs {sorted(sql_df.columns)}"
+    )
+    assert len(ray_df) == len(sql_df), f"{name}: rows {len(ray_df)} vs {len(sql_df)}"
+    a, b = _canon(ray_df), _canon(sql_df)
+    for col in a.columns:
+        av, bv = a[col], b[col]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            pd.testing.assert_series_equal(
+                av.astype(float), bv.astype(float), check_names=False, check_exact=True
+            )
+        else:
+            assert av.astype(str).tolist() == bv.astype(str).tolist(), f"{name}.{col}"
+
+
+def _oracle_names():
+    import __ray_entry__ as e
+
+    return sorted(e.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", [
+    "pricing_summary", "region_stats", "segment_orders", "custs_with_orders",
+    "custs_without_orders", "top_orders", "distinct_user_event", "string_funcs",
+    "orders_by_year", "json_props", "salted_events_agg", "union_names",
+    "events_tumbling_hour", "doc_token_counts", "distinct_texts", "doc_regex_tokens",
+])
+def test_query_vs_duckdb(ray_session, con, name):
+    import __ray_entry__ as e
+
+    queries = e.queries()
+    oracles = e.oracle_sql()
+    assert name in queries and name in oracles
+    ray_df = _to_df(queries[name](SF_DIR))
+    sql_df = con.execute(oracles[name]).fetchdf()
+    _compare(name, ray_df, sql_df)
+
+
+def test_every_oracle_has_query():
+    import __ray_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    assert set(o.keys()) <= set(q.keys())
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    n = ds.count()
+    assert n > 0
+    assert {"subj", "pred", "obj", "bucket"} <= set(ds.schema().names)
+
+
+def test_kg_queries_run(ray_session):
+    import __ray_entry__ as e
+
+    q = e.queries()
+    assert q["kg_mentions"](SF_DIR).count() > 0
+    assert q["kg_canonical"](SF_DIR).count() > 0
