@@ -28,12 +28,11 @@ def entry() -> Any:
     (seed=42, FIXTURES.md) — same generator the tests and bench use.
     Returns the distinct-triples Dataset.
     """
-    import ray.data
-
     from kgray import fixtures, pipeline
 
-    corpus = ray.data.read_parquet(fixtures.corpus_path("tiny"))
-    return pipeline.build_triples(corpus, fixtures.vocab_path(), concurrency=2)
+    return pipeline.flagship(
+        fixtures.corpus_path("tiny"), fixtures.vocab_path(), concurrency=2
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

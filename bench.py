@@ -1,0 +1,152 @@
+"""Bench harness (driver contract): prints ONE JSON line.
+
+    python bench.py                # headline + per-query secs at $GRAFT_SF_DIR
+    python bench.py --scaling      # same job at N vs 4N CPUs in fresh
+                                   # processes -> throughputs + efficiency
+
+Headline = the flagship KG pipeline (read -> parse/extract -> link ->
+triples -> distinct -> count) over the seeded bench corpus (200k rows,
+FIXTURES.md), CPU-bound. Per-query timings cover the shuffle-heavy
+generic operators over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "segment_orders",
+    "salted_events_agg",
+    "distinct_user_event",
+    "top_orders",
+    "doc_token_counts",
+]
+
+
+def _consume(res) -> int:
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    if isinstance(res, pa.Table):
+        return len(res)
+    return len(res)
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from kgray import fixtures, pipeline, queries
+
+    corpus_dir = fixtures.corpus_path("bench")
+    vocab = fixtures.vocab_path()
+
+    # warm page cache (untimed): one full read of the inputs
+    rd.read_parquet(corpus_dir).count()
+
+    t0 = time.monotonic()
+    # block count is data-driven (~60MB decompressed per block), with a
+    # floor of 2 blocks per CPU so small inputs still parallelize
+    triples = pipeline.flagship(
+        corpus_dir, vocab, override_num_blocks=max(64, 2 * NUM_CPUS), with_sha=True
+    )
+    n_triples = triples.count()
+    headline = time.monotonic() - t0
+    rows_in = fixtures.SCALES["bench"]
+
+    per_query: dict[str, float] = {"kg_triples": round(headline, 3)}
+    if not os.environ.get("GRAFT_HEADLINE_ONLY"):
+        for name in BENCH_QUERIES:
+            tq = time.monotonic()
+            _consume(queries.QUERIES[name](SF_DIR))
+            per_query[name] = round(time.monotonic() - tq, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    return {
+        "metric": "kg_pipeline_seconds",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "num_cpus": NUM_CPUS,
+        "rows_in": rows_in,
+        "triples_out": n_triples,
+        "rows_per_s": round(rows_in / headline, 1),
+        "triples_per_s": round(n_triples / headline, 1),
+    }
+
+
+SCALING_PAIR = (4, 16)  # N and 4N CPUs. Not (8, 32): this box delivers
+# only ~20 effective cores (measured: fixed CPU work speeds up 19.8x at
+# 32 procs, 2.77x from 8->32), so 8->32 measures host oversubscription,
+# not scaling. 4->16 keeps both levels inside the linear region; a real
+# 4x node-count cluster does not share cores. See BASELINE.md.
+
+
+def run_scaling() -> dict:
+    """Sandbox substitute for N vs 4N cluster sizes (BASELINE.md):
+    identical job, fresh processes, num_cpus N vs 4N."""
+    results = {}
+    for ncpu in SCALING_PAIR:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    lo, hi = SCALING_PAIR
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"rows_per_s_{lo}": results[lo]["rows_per_s"],
+        f"rows_per_s_{hi}": results[hi]["rows_per_s"],
+        f"triples_per_s_{lo}": results[lo]["triples_per_s"],
+        f"triples_per_s_{hi}": results[hi]["triples_per_s"],
+        "queries": {f"kg_triples_{lo}cpu": t_lo, f"kg_triples_{hi}cpu": t_hi},
+        "sf": results[hi]["sf"],
+        "num_cpus": hi,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        res = run_bench()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(res))

@@ -84,6 +84,9 @@ _MUSICXML_TMPL = """<score-partwise version="3.1">
   <part-list>
 {parts}
   </part-list>
+  <part id="P1">
+{body}
+  </part>
 </score-partwise>"""
 
 _MEI_TMPL = """<mei xmlns="http://www.music-encoding.org/ns/mei">
@@ -98,7 +101,34 @@ _MEI_TMPL = """<mei xmlns="http://www.music-encoding.org/ns/mei">
 {perfres}
   </perfResList></perfMedium>
   </meiHead>
+  <music><body><mdiv><score><section>
+{body}
+  </section></score></mdiv></body></music>
 </mei>"""
+
+
+def _measure_pool() -> list[str]:
+    """64 deterministic pre-built measure blocks (~15 notes each).
+
+    Real MusicXML/MEI scores carry the full note body (tens of KB per
+    file); the extraction stages must parse past it, so the fixture
+    includes it — this is what makes the parse stage realistically
+    CPU-bound at bench scale."""
+    steps = "CDEFGAB"
+    pool = []
+    rng = np.random.default_rng(SEED + 11)
+    for m in range(64):
+        notes = []
+        for _ in range(5):
+            s = steps[rng.integers(7)]
+            o = int(rng.integers(2, 7))
+            d = int(rng.integers(1, 17))
+            notes.append(
+                f"<note><pitch><step>{s}</step><octave>{o}</octave></pitch>"
+                f"<duration>{d}</duration><type>quarter</type></note>"
+            )
+        pool.append(f'<measure number="{m}">' + "".join(notes) + "</measure>")
+    return pool
 
 
 def composer_pool() -> list[str]:
@@ -204,12 +234,17 @@ def make_corpus(n_rows: int, seed: int = SEED) -> pa.Table:
     ]
 
     langs = rng.choice(["musicxml", "mei", "txt"], size=n_rows, p=[0.70, 0.25, 0.05])
+    measures = _measure_pool()
+    n_measures = rng.integers(8, 20, size=n_rows)
     repo, path, commit, content = [], [], [], []
     for i in range(n_rows):
         wid = i % n_works
         cidx = int(w_composer[wid])
         lang = langs[i]
         comp = composer_surface(pool[cidx], cidx, rng)
+        body = "\n".join(
+            measures[k] for k in rng.integers(0, len(measures), size=int(n_measures[i]))
+        )
         dr = rng.random()
         if dr < 0.5:
             date = f"{w_years[wid]:04d}-{w_month[wid]:02d}-{w_day[wid]:02d}"
@@ -223,11 +258,15 @@ def make_corpus(n_rows: int, seed: int = SEED) -> pa.Table:
                 f'    <score-part id="P{k+1}"><part-name>{ins}</part-name></score-part>'
                 for k, ins in enumerate(w_instr[wid])
             )
-            body = _MUSICXML_TMPL.format(wid=wid, title=title, composer=comp, date=date, parts=parts)
+            body = _MUSICXML_TMPL.format(
+                wid=wid, title=title, composer=comp, date=date, parts=parts, body=body
+            )
             ext = "musicxml"
         elif lang == "mei":
             perfres = "\n".join(f"    <perfRes>{ins}</perfRes>" for ins in w_instr[wid])
-            body = _MEI_TMPL.format(wid=wid, title=title, composer=comp, date=date, perfres=perfres)
+            body = _MEI_TMPL.format(
+                wid=wid, title=title, composer=comp, date=date, perfres=perfres, body=body
+            )
             ext = "mei"
         else:
             body = f"not a score: {title} by {comp}"
@@ -314,7 +353,7 @@ def make_vocab(seed: int = SEED) -> pa.Table:
 # ---------------------------------------------------------------------------
 # on-disk caching (bench / tests reuse the same generated files)
 
-SCALES = {"tiny": 2_000, "smoke": 20_000, "bench": 200_000}
+SCALES = {"tiny": 2_000, "smoke": 20_000, "bench": 600_000}
 
 
 def corpus_path(scale: str, root: str = "/tmp/kgray_fixtures") -> str:
@@ -324,7 +363,7 @@ def corpus_path(scale: str, root: str = "/tmp/kgray_fixtures") -> str:
     if not os.path.exists(marker):
         os.makedirs(out, exist_ok=True)
         tbl = make_corpus(n)
-        nfiles = max(1, n // 10_000)
+        nfiles = max(4, n // 10_000)
         step = (len(tbl) + nfiles - 1) // nfiles
         for f in range(nfiles):
             pq.write_table(tbl.slice(f * step, step), os.path.join(out, f"part-{f:04d}.parquet"))

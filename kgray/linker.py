@@ -72,10 +72,11 @@ class VocabIndex:
                 prev = ex.get(vocab[i])
                 if prev is None or eid[i] < prev:
                     ex[vocab[i]] = eid[i]
-                for tok in tokens(n):
-                    if (tok, idx) not in seen_tokens:
-                        seen_tokens.add((tok, idx))
-                        self.postings[t].setdefault(tok, []).append(idx)
+                if t == "agent":  # postings only feed agent fuzzy search
+                    for tok in tokens(n):
+                        if (tok, idx) not in seen_tokens:
+                            seen_tokens.add((tok, idx))
+                            self.postings[t].setdefault(tok, []).append(idx)
 
     def link(self, mention_type: str, norm: str) -> dict:
         """-> {vocab: (entity_id, score) or None for each vocab,
@@ -90,8 +91,9 @@ class VocabIndex:
                 for v, e in exact.items():
                     out[v] = (e, 1.0)
                     exact_vocabs.add(v)
-            # fuzzy for vocabs without an exact hit
-            if len(exact_vocabs) < len(VOCABS) and toks:
+            # fuzzy scoring is agent-only (spec §4); works/instruments
+            # link by exact normalized match alone
+            if mention_type == "agent" and len(exact_vocabs) < len(VOCABS) and toks:
                 cand: set[int] = set()
                 post = self.postings[mention_type]
                 for tok in toks:
@@ -122,46 +124,104 @@ class VocabIndex:
         return {"links": out, "canonical_uri": canonical, "method": method}
 
 
-class Linker:
-    """Actor-pool stage: mentions batch in -> linked batch out."""
+def link_transform(index: VocabIndex, cache: dict, batch: pa.Table, emit: bool) -> pa.Table:
+    """Shared vectorized link transform (used by both execution modes).
 
-    def __init__(self, vocab_path: str):
-        self.index = VocabIndex(pq.read_table(vocab_path))
-        self.cache: dict[tuple[str, str], dict] = {}
+    Dictionary-encodes the (mention_type, norm) pairs (C++), runs the
+    similarity machinery only on the unique pairs (memoized in
+    `cache`), gathers per-row output columns with a C++ `take`, and
+    optionally emits the triples in-process.
+    """
+    import pyarrow.compute as pc
 
-    def _link(self, mention_type: str, norm: str) -> dict:
-        key = (mention_type, norm)
-        r = self.cache.get(key)
+    keys = pc.binary_join_element_wise(
+        batch["mention_type"], pc.fill_null(batch["norm"], ""), SEP
+    )
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    enc = keys.dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
+    results = []
+    for k in uniq:
+        r = cache.get(k)
         if r is None:
-            r = self.index.link(mention_type, norm)
-            self.cache[key] = r
-        return r
+            mention_type, norm = k.split(SEP, 1)
+            r = index.link(mention_type, norm)
+            cache[k] = r
+        results.append(r)
+
+    small: dict[str, pa.Array] = {}
+    for v in VOCABS:
+        small[f"{v}_id"] = pa.array(
+            [r["links"][v][0] if r["links"][v] else None for r in results],
+            type=pa.string(),
+        )
+        small[f"{v}_score"] = pa.array(
+            [r["links"][v][1] if r["links"][v] else None for r in results],
+            type=pa.float64(),
+        )
+    small["canonical_uri"] = pa.array(
+        [r["canonical_uri"] for r in results], type=pa.string()
+    )
+    small["method"] = pa.array([r["method"] for r in results], type=pa.string())
+
+    idx = enc.indices
+    out = batch
+    for name, vals in small.items():
+        out = out.append_column(name, pc.take(vals, idx))
+    if emit:
+        from . import stages
+
+        return stages.emit_triples(out)
+    return out
+
+
+SEP = "\x1f"
+
+# per-worker-process cache for broadcast-task mode: the VocabIndex is
+# deserialized from the object store once per worker process, not once
+# per task, and the link memo is shared across tasks on that worker
+_TASK_STATE: dict[str, tuple[VocabIndex, dict]] = {}
+
+
+def make_link_task(index_ref, emit: bool):
+    """Broadcast-task execution mode: `ray.put(VocabIndex)` once on
+    the driver; each worker process rehydrates it once. The idiomatic
+    broadcast-small-side pattern — right when the vocabulary is a
+    small dimension table. For vocabularies too big to deserialize
+    per worker cheaply, use the actor-pool mode (Linker class)."""
+    import ray
+
+    def link_task(batch: pa.Table) -> pa.Table:
+        key = index_ref.hex()
+        st = _TASK_STATE.get(key)
+        if st is None:
+            st = (ray.get(index_ref), {})
+            _TASK_STATE.clear()  # only ever one live vocab per worker
+            _TASK_STATE[key] = st
+        return link_transform(st[0], st[1], batch, emit)
+
+    return link_task
+
+
+class Linker:
+    """Actor-pool stage: mentions batch in -> linked batch out.
+
+    Vectorized: the (mention_type, norm) pairs of a batch are
+    dictionary-encoded (C++), the similarity machinery runs only on
+    the few unique pairs (memoized across batches in actor state),
+    and per-row output columns come from a C++ `take` gather.
+
+    With ``emit=True`` the actor also emits the (subj, pred, obj)
+    triples in-process (stages.emit_triples), so the wide linked
+    table never crosses the object store — the flagship's narrowest
+    possible inter-stage traffic.
+    """
+
+    def __init__(self, vocab_path: str, emit: bool = False):
+        self.index = VocabIndex(pq.read_table(vocab_path))
+        self.cache: dict[str, dict] = {}
+        self.emit = emit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mtypes = batch["mention_type"].to_pylist()
-        norms = batch["norm"].to_pylist()
-        n = len(norms)
-        cols: dict[str, list] = {
-            "dbpedia_id": [None] * n,
-            "dbpedia_score": [None] * n,
-            "viaf_id": [None] * n,
-            "viaf_score": [None] * n,
-            "europeana_id": [None] * n,
-            "europeana_score": [None] * n,
-            "canonical_uri": [None] * n,
-            "method": [None] * n,
-        }
-        for i in range(n):
-            r = self._link(mtypes[i], norms[i] or "")
-            for v in VOCABS:
-                lk = r["links"][v]
-                if lk is not None:
-                    cols[f"{v}_id"][i] = lk[0]
-                    cols[f"{v}_score"][i] = lk[1]
-            cols["canonical_uri"][i] = r["canonical_uri"]
-            cols["method"][i] = r["method"]
-        out = batch
-        for name, vals in cols.items():
-            typ = pa.float64() if name.endswith("_score") else pa.string()
-            out = out.append_column(name, pa.array(vals, type=typ))
-        return out
+        return link_transform(self.index, self.cache, batch, self.emit)

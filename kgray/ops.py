@@ -114,9 +114,46 @@ def salted_groupby(
     return partial.groupby(keys).aggregate(*aggs2)
 
 
+def grouped_sum_count(
+    ds: Dataset,
+    keys: list[str],
+    sums: list[tuple[str, str]],
+    count_alias: str | None = None,
+) -> Dataset:
+    """A2 with the combiner pattern: per-batch partial aggregation
+    (vectorized pyarrow group_by) BEFORE the shuffle, then a tiny
+    global merge — the shuffle moves one row per (key, batch) instead
+    of every input row."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        aggs = [(c, "sum") for c, _ in sums]
+        if count_alias:
+            aggs.append((keys[0], "count"))
+        g = b.group_by(keys).aggregate(aggs)
+        renames = {f"{c}_sum": f"_p_{alias}" for c, alias in sums}
+        if count_alias:
+            renames[f"{keys[0]}_count"] = "_p_cnt"
+        return g.rename_columns([renames.get(c, c) for c in g.column_names])
+
+    merge = [Sum(f"_p_{alias}", alias_name=alias) for _, alias in sums]
+    if count_alias:
+        merge.append(Sum("_p_cnt", alias_name=count_alias))
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(*merge)
+    )
+
+
 def distinct(ds: Dataset, keys: list[str]) -> Dataset:
-    """U2/A5: exact distinct rows on `keys` (vectorized hash agg)."""
-    return ds.groupby(keys).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    """U2/A5: exact distinct rows on `keys`: per-batch vectorized
+    dedup (combiner) then a global hash agg over the survivors."""
+    pre = ds.map_batches(
+        lambda b: b.group_by(keys).aggregate([]),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+    return pre.groupby(keys).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
 
 
 def topk(ds: Dataset, keys: list[str], k: int, descending=True) -> Dataset:

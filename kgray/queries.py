@@ -60,17 +60,12 @@ def q_pricing_summary(sf_dir: str):
             }
         )
 
-    out = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("base_cents", alias_name="sum_base_cents"),
-            Sum("disc_cents", alias_name="sum_disc_cents"),
-            Count(alias_name="count_order"),
-        )
+    return ops.grouped_sum_count(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        sums=[("qty", "sum_qty"), ("base_cents", "sum_base_cents"), ("disc_cents", "sum_disc_cents")],
+        count_alias="count_order",
     )
-    return out
 
 
 SQL_PRICING = """
@@ -105,9 +100,11 @@ def q_region_stats(sf_dir: str):
         keys=["c_nationkey"],
         right_keys=["n_nationkey"],
     )
-    return joined.groupby("r_name").aggregate(
-        Count(alias_name="n_customers"),
-        Sum("bal_cents", alias_name="sum_bal_cents"),
+    return ops.grouped_sum_count(
+        joined,
+        keys=["r_name"],
+        sums=[("bal_cents", "sum_bal_cents")],
+        count_alias="n_customers",
     )
 
 
@@ -140,9 +137,11 @@ def q_segment_orders(sf_dir: str):
         right_on=("c_custkey",),
         num_partitions=NUM_JOIN_PARTITIONS,
     )
-    return joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"),
-        Sum("total_cents", alias_name="sum_total_cents"),
+    return ops.grouped_sum_count(
+        joined,
+        keys=["c_mktsegment"],
+        sums=[("total_cents", "sum_total_cents")],
+        count_alias="n_orders",
     )
 
 
@@ -165,7 +164,7 @@ def _order_custkeys(sf_dir: str) -> set:
 def q_custs_with_orders(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     sel = ops.semi_join_filter(cust, "c_custkey", _order_custkeys(sf_dir))
-    return sel.groupby("c_mktsegment").aggregate(Count(alias_name="n"))
+    return ops.grouped_sum_count(sel, keys=["c_mktsegment"], sums=[], count_alias="n")
 
 
 SQL_CUSTS_WITH_ORDERS = """
@@ -189,7 +188,7 @@ def q_custs_without_orders(sf_dir: str):
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     sel = ops.anti_join_filter(cust, "c_custkey", set(big))
-    return sel.groupby("c_mktsegment").aggregate(Count(alias_name="n"))
+    return ops.grouped_sum_count(sel, keys=["c_mktsegment"], sums=[], count_alias="n")
 
 
 SQL_CUSTS_WITHOUT_ORDERS = """
@@ -262,10 +261,11 @@ def q_orders_by_year(sf_dir: str):
             }
         )
 
-    return (
-        ds.map_batches(f, batch_format="pyarrow")
-        .groupby("year")
-        .aggregate(Count(alias_name="n_orders"), Sum("total_cents", alias_name="sum_total_cents"))
+    return ops.grouped_sum_count(
+        ds.map_batches(f, batch_format="pyarrow"),
+        keys=["year"],
+        sums=[("total_cents", "sum_total_cents")],
+        count_alias="n_orders",
     )
 
 
@@ -292,10 +292,11 @@ def q_json_props(sf_dir: str):
             ks.append(v if isinstance(v, int) else None)
         return pa.table({"event_type": b["event_type"], "k": pa.array(ks, type=pa.int64())})
 
-    return (
-        ds.map_batches(f, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
+    return ops.grouped_sum_count(
+        ds.map_batches(f, batch_format="pyarrow"),
+        keys=["event_type"],
+        sums=[("k", "sum_k")],
+        count_alias="n",
     )
 
 
@@ -362,10 +363,11 @@ def q_events_tumbling_hour(sf_dir: str):
             }
         )
 
-    return (
-        ds.map_batches(f, batch_format="pyarrow")
-        .groupby(["window_start", "event_type"])
-        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
+    return ops.grouped_sum_count(
+        ds.map_batches(f, batch_format="pyarrow"),
+        keys=["window_start", "event_type"],
+        sums=[("value_cents", "sum_value_cents")],
+        count_alias="n",
     )
 
 
@@ -393,10 +395,11 @@ def q_doc_token_counts(sf_dir: str):
             {"doc_id": pa.array(doc_ids, type=pa.int64()), "tok": pa.array(toks)}
         )
 
-    return (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="n_tokens"))
+    return ops.grouped_sum_count(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        keys=["doc_id"],
+        sums=[],
+        count_alias="n_tokens",
     )
 
 
@@ -454,8 +457,7 @@ def _kg_scale(sf_dir: str) -> str:
 def q_kg_triples(sf_dir: str):
     from . import fixtures, pipeline
 
-    corpus = pipeline.read_corpus(fixtures.corpus_path(_kg_scale(sf_dir)))
-    return pipeline.build_triples(corpus, fixtures.vocab_path())
+    return pipeline.flagship(fixtures.corpus_path(_kg_scale(sf_dir)), fixtures.vocab_path())
 
 
 def q_kg_mentions(sf_dir: str):

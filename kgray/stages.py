@@ -111,70 +111,74 @@ def extract_mentions(batch: pa.Table) -> pa.Table:
     )
 
 
-def emit_triples(batch: pa.Table) -> pa.Table:
-    """Spec §6: linked-mention rows -> raw (subj, pred, obj) rows,
-    deduped within the batch (the global distinct is a shuffle stage)."""
-    mtype = batch["mention_type"].to_pylist()
-    work_uri = batch["work_uri"].to_pylist()
-    surface = batch["surface"].to_pylist()
-    norm = batch["norm"].to_pylist()
-    canon = batch["canonical_uri"].to_pylist()
-    links = {
-        v: batch[f"{v}_id"].to_pylist() for v in ("dbpedia", "viaf", "europeana")
-    }
-    seen: set[tuple[str, str, str]] = set()
-    s_c: list[str] = []
-    p_c: list[str] = []
-    o_c: list[str] = []
+_VOCABS = ("dbpedia", "viaf", "europeana")
 
-    def emit(s: str, p: str, o: str) -> None:
-        t = (s, p, o)
-        if t not in seen:
-            seen.add(t)
-            s_c.append(s)
-            p_c.append(p)
-            o_c.append(o)
 
-    for i in range(len(mtype)):
-        mt = mtype[i]
-        wu = work_uri[i]
-        if mt == "work":
-            emit(wu, "dc:title", surface[i].strip())
-            for v in ("dbpedia", "viaf", "europeana"):
-                e = links[v][i]
-                if e is not None:
-                    emit(wu, "owl:sameAs", e)
-        elif mt == "date":
-            if norm[i]:
-                emit(wu, "dcterms:date", norm[i])
-        elif mt == "agent":
-            cu = canon[i]
-            emit(wu, "dc:creator", cu)
-            emit(cu, "edm:isRelatedTo", wu)
-            for v in ("dbpedia", "viaf", "europeana"):
-                e = links[v][i]
-                if e is not None and e != cu:
-                    emit(cu, "owl:sameAs", e)
-        elif mt == "instrument":
-            emit(wu, "mo:instrument", canon[i])
-
-    spo64 = pa.array(
-        [sha64(f"{s}\x00{p}\x00{o}") - (1 << 63) for s, p, o in zip(s_c, p_c, o_c)],
-        type=pa.int64(),
-    )
+def _spo(subj: pa.Array, pred: str, obj: pa.Array) -> pa.Table:
     return pa.table(
         {
-            "subj": pa.array(s_c, type=pa.string()),
-            "pred": pa.array(p_c, type=pa.string()),
-            "obj": pa.array(o_c, type=pa.string()),
-            "spo64": spo64,
+            "subj": subj,
+            "pred": pa.array([pred] * len(subj), type=pa.string()),
+            "obj": obj,
         }
     )
 
 
+def emit_triples(batch: pa.Table) -> pa.Table:
+    """Spec §6: linked-mention rows -> raw (subj, pred, obj) rows.
+
+    Fully vectorized: per-mention-type masks + columnar assembly
+    (pyarrow kernels), then one C++ hash group-by for the in-block
+    dedup. (The original per-row Python loop was the pipeline's
+    hotspot: 25s of 51s at 8 CPUs on the 600k-row bench corpus.)
+    """
+    out: list[pa.Table] = []
+    mt = batch["mention_type"]
+
+    w = batch.filter(pc.equal(mt, "work"))
+    if len(w):
+        out.append(_spo(w["work_uri"], "dc:title", pc.utf8_trim_whitespace(w["surface"])))
+        for v in _VOCABS:
+            lk = w.filter(pc.is_valid(w[f"{v}_id"]))
+            if len(lk):
+                out.append(_spo(lk["work_uri"], "owl:sameAs", lk[f"{v}_id"]))
+
+    d = batch.filter(pc.equal(mt, "date"))
+    if len(d):
+        d = d.filter(pc.not_equal(d["norm"], ""))
+        if len(d):
+            out.append(_spo(d["work_uri"], "dcterms:date", d["norm"]))
+
+    a = batch.filter(pc.equal(mt, "agent"))
+    if len(a):
+        out.append(_spo(a["work_uri"], "dc:creator", a["canonical_uri"]))
+        out.append(_spo(a["canonical_uri"], "edm:isRelatedTo", a["work_uri"]))
+        for v in _VOCABS:
+            col = a[f"{v}_id"]
+            mask = pc.and_(
+                pc.is_valid(col), pc.not_equal(pc.fill_null(col, ""), a["canonical_uri"])
+            )
+            lk = a.filter(mask)
+            if len(lk):
+                out.append(_spo(lk["canonical_uri"], "owl:sameAs", lk[f"{v}_id"]))
+
+    ins = batch.filter(pc.equal(mt, "instrument"))
+    if len(ins):
+        out.append(_spo(ins["work_uri"], "mo:instrument", ins["canonical_uri"]))
+
+    if not out:
+        return pa.table(
+            {"subj": pa.array([], pa.string()), "pred": pa.array([], pa.string()),
+             "obj": pa.array([], pa.string())}
+        )
+    merged = pa.concat_tables(out)
+    return merged.group_by(["subj", "pred", "obj"]).aggregate([])  # in-block dedup
+
+
 def finalize_triples(batch: pa.Table) -> pa.Table:
-    """Drop the dedup key, add the write-partition bucket column."""
+    """Add the write-partition bucket column (sha64(subj) % 64 —
+    stable sha-derived hash, spec §6; runs on distinct rows only)."""
     bucket = pa.array(
         [sha64(s) % 64 for s in batch["subj"].to_pylist()], type=pa.int32()
     )
-    return batch.drop_columns(["spo64"]).append_column("bucket", bucket)
+    return batch.append_column("bucket", bucket)

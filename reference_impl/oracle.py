@@ -238,18 +238,23 @@ def _link_mention(kind: str, norm: str, catalog: dict, memo: dict) -> dict:
     if kind in catalog and mention_tokens:
         best: dict[str, tuple[float, str]] = {}
         for vocab, entity_id, names in catalog[kind]:
-            is_candidate = False
-            for n in names:
-                if mention_tokens & set(n.split(" ")):
-                    is_candidate = True
-                    break
-            if not is_candidate:
-                continue
-            top = 0.0
-            for n in names:
-                sc = 1.0 if n == norm else _pair_score(norm, n)
-                if sc > top:
-                    top = sc
+            if kind == "agent":
+                # fuzzy matching (agents only, spec §4)
+                is_candidate = False
+                for n in names:
+                    if mention_tokens & set(n.split(" ")):
+                        is_candidate = True
+                        break
+                if not is_candidate:
+                    continue
+                top = 0.0
+                for n in names:
+                    sc = 1.0 if n == norm else _pair_score(norm, n)
+                    if sc > top:
+                        top = sc
+            else:
+                # works / instruments: exact normalized match only
+                top = 1.0 if norm in names else 0.0
             if top < THETA:
                 continue
             held = best.get(vocab)

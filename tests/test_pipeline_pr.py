@@ -13,9 +13,12 @@ from kgray import pipeline
 
 @pytest.fixture(scope="module")
 def engine_triples(ray_session, tiny_corpus, vocab_file):
-    corpus = ray.data.from_arrow(tiny_corpus)
-    ds = pipeline.build_triples(corpus, vocab_file, concurrency=2)
-    tbl = ds.sort(["subj", "pred", "obj"]).to_pandas()
+    with pipeline.hash_shuffle_ctx():
+        corpus = ray.data.from_arrow(tiny_corpus)
+        ds = pipeline.build_triples(corpus, vocab_file, concurrency=2).sort(
+            ["subj", "pred", "obj"]
+        )
+    tbl = ds.to_pandas()
     return set(zip(tbl["subj"], tbl["pred"], tbl["obj"])), tbl
 
 
