@@ -518,3 +518,189 @@ ORACLE_SQL = {
     "distinct_texts": SQL_DISTINCT_TEXTS,
     "doc_regex_tokens": SQL_DOC_REGEX_TOKENS,
 }
+
+
+# ---------------------------------------------------------------------------
+# Deduplication / similarity / text-analysis / multimodal operators
+# (task-brief extras; SQL oracles where bit-determinism is achievable)
+
+
+def q_dedup_exact_docs(sf_dir: str):
+    from .extras import dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.exact_dedup(ds, "text", "doc_id")
+
+
+SQL_DEDUP_EXACT_DOCS = """
+SELECT text, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def q_dedup_minhash_docs(sf_dir: str):
+    from .extras import dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
+
+
+def q_dedup_simhash_docs(sf_dir: str):
+    from .extras import dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.simhash_pairs(ds, "text", "doc_id", max_hamming=3)
+
+
+def q_ngram_jaccard_topk(sf_dir: str):
+    from .extras import dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.ngram_jaccard_topk(ds, "text", "doc_id", k=20)
+
+
+def _query_vectors(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    import pyarrow.compute as _pc
+
+    ids = t["vec_id"].to_numpy()
+    import numpy as _np
+
+    mask = pa.array(_np.asarray(ids) % 100 == 0)
+    return t.filter(mask)
+
+
+def q_knn_search(sf_dir: str):
+    from .extras import annsearch
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = annsearch.knn_brute(ds, _query_vectors(sf_dir), k=10)
+    return out.select(["query_id", "neighbor_id"])
+
+
+SQL_KNN_SEARCH = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 100 = 0)
+SELECT query_id, neighbor_id FROM (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+            PARTITION BY q.query_id
+            ORDER BY ROUND(list_cosine_similarity(q.embedding, e.embedding), 4) DESC,
+                     e.vec_id ASC) AS rn
+  FROM q CROSS JOIN embeddings e
+) WHERE rn <= 10
+"""
+
+
+def q_knn_lsh(sf_dir: str):
+    from .extras import annsearch
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return annsearch.knn_lsh(ds, _query_vectors(sf_dir), k=10)
+
+
+def q_embedding_dup_pairs(sf_dir: str):
+    from .extras import annsearch
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return annsearch.cosine_dup_pairs(ds, threshold=0.95)
+
+
+def q_langid_docs(sf_dir: str):
+    from .extras import textstats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return textstats.langid(ds)
+
+
+def q_doc_quality(sf_dir: str):
+    from .extras import textstats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return textstats.quality(ds)
+
+
+SQL_DOC_QUALITY = """
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\S+')) AS BIGINT) AS n_words,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
+       CAST(LEN(LIST_FILTER(REGEXP_EXTRACT_ALL(LOWER(text), '\\S+'),
+            x -> x IN ('the','and','of','to','a','in','is','that','for','with'))) AS BIGINT) AS n_stopwords,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^\\w\\s]')) AS DOUBLE) / LENGTH(text) AS punct_ratio,
+       CAST(LEN(LIST_FILTER(REGEXP_EXTRACT_ALL(LOWER(text), '\\S+'),
+            x -> x IN ('the','and','of','to','a','in','is','that','for','with'))) AS DOUBLE)
+         / LEN(REGEXP_EXTRACT_ALL(text, '\\S+')) AS stopword_ratio
+FROM documents
+"""
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from .extras import textstats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return textstats.fingerprint(ds)
+
+
+def q_multimodal_features(sf_dir: str):
+    """Binary-column plumbing demo: deterministic fake-image fixture ->
+    metadata peek + actor-pool featurize (decode stubbed for real
+    codecs; see extras/multimodal.py)."""
+    import ray.data as _rd
+
+    from .extras import multimodal
+
+    n = 500 if "0.01" in sf_dir else (2000 if "0.1" in sf_dir else 100)
+    ds = _rd.from_arrow(multimodal.make_image_table(n))
+    feats = multimodal.featurize_images(ds, batch_size=64)
+
+    def flatten(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        norms = [
+            round(float(_np.linalg.norm(_np.asarray(v))), 4) if v is not None else 0.0
+            for v in b["feature"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "img_id": b["img_id"],
+                "decode_ok": b["decode_ok"],
+                "feat_norm": pa.array(norms, type=pa.float64()),
+            }
+        )
+
+    meta = multimodal.image_metadata(ds)
+    import pyarrow.parquet  # noqa: F401
+
+    f = feats.map_batches(flatten, batch_format="pyarrow").to_pandas()
+    m = meta.to_pandas()
+    return pa.Table.from_pandas(
+        m.merge(f, on="img_id").sort_values("img_id", ignore_index=True),
+        preserve_index=False,
+    )
+
+
+QUERIES.update(
+    {
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "dedup_minhash_docs": q_dedup_minhash_docs,
+        "dedup_simhash_docs": q_dedup_simhash_docs,
+        "ngram_jaccard_topk": q_ngram_jaccard_topk,
+        "knn_search": q_knn_search,
+        "knn_lsh": q_knn_lsh,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "langid_docs": q_langid_docs,
+        "doc_quality": q_doc_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_features": q_multimodal_features,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
+        "knn_search": SQL_KNN_SEARCH,
+        "doc_quality": SQL_DOC_QUALITY,
+    }
+)

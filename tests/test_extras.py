@@ -1,0 +1,205 @@
+"""Tests for the large-scale extras: dedup family, ANN search, text
+analysis, multimodal plumbing (task-brief components)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(ray_session):
+    """Synthetic doc set with KNOWN near-duplicates."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a long tune about rivers and mountains under a pale winter sky"
+    )
+    docs = {
+        0: base,
+        1: base.replace("quick", "quikc"),           # near-dup of 0
+        2: base.replace("winter", "summer") + " ok", # near-dup of 0
+        3: "completely different text about database shuffle partitions and arrow batches",
+        4: "completely different text about database shuffle partitions and arrow batch",  # near-dup of 3
+        5: "unrelated short poem of stars",
+        6: base,                                      # exact dup of 0
+    }
+    tbl = pa.table(
+        {"doc_id": pa.array(list(docs), type=pa.int64()),
+         "text": pa.array(list(docs.values()), type=pa.string())}
+    )
+    return ray.data.from_arrow(tbl), docs
+
+
+def test_exact_dedup(dup_corpus):
+    from kgray.extras.dedup import exact_dedup
+
+    ds, docs = dup_corpus
+    out = exact_dedup(ds, "text", "doc_id").to_pandas()
+    assert len(out) == 6  # 7 docs, one exact dup
+    dup_row = out[out["n_copies"] == 2]
+    assert len(dup_row) == 1 and dup_row["keep_id"].iloc[0] == 0
+
+
+def test_minhash_lsh_finds_known_pairs(dup_corpus):
+    from kgray.extras.dedup import minhash_lsh_pairs
+
+    ds, docs = dup_corpus
+    out = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
+    pairs = set(zip(out["a"].to_pylist(), out["b"].to_pylist()))
+    assert (0, 6) in pairs  # exact dup -> jaccard 1.0
+    assert (0, 1) in pairs and (0, 2) in pairs and (3, 4) in pairs
+    assert all(j >= 0.5 for j in out["jaccard"].to_pylist())
+    # no cross-topic false positives
+    assert not any({a, b} == {0, 3} or {a, b} == {0, 5} for a, b in pairs)
+
+
+def test_simhash_pairs(dup_corpus):
+    from kgray.extras.dedup import simhash_pairs, simhash64
+
+    ds, docs = dup_corpus
+    assert simhash64(docs[0]) == simhash64(docs[6])
+    out = simhash_pairs(ds, "text", "doc_id", max_hamming=6)
+    pairs = set(zip(out["a"].to_pylist(), out["b"].to_pylist()))
+    assert (0, 6) in pairs
+    assert (0, 1) in pairs  # one-word typo -> tiny hamming distance
+
+
+def test_ngram_topk(dup_corpus):
+    from kgray.extras.dedup import ngram_jaccard_topk
+
+    ds, docs = dup_corpus
+    out = ngram_jaccard_topk(ds, "text", "doc_id", k=5)
+    assert len(out) >= 3
+    top = (out["a"][0].as_py(), out["b"][0].as_py(), out["jaccard"][0].as_py())
+    assert top[:2] == (0, 6) and top[2] == 1.0  # exact dup ranks first
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_knn_brute_matches_numpy(ray_session):
+    import pyarrow.parquet as pq
+
+    from kgray.extras.annsearch import knn_brute, _to_matrix, _normalize
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ds = ray.data.from_arrow(t)
+    queries = t.slice(0, 3)
+    out = knn_brute(ds, queries, k=5)
+    # independent numpy reference
+    m = _normalize(_to_matrix(t["embedding"]))
+    ids = t["vec_id"].to_pylist()
+    for qi in range(3):
+        sims = m @ m[qi]
+        order = sorted(range(len(ids)), key=lambda i: (-round(sims[i], 4), ids[i]))[:5]
+        want = [ids[i] for i in order]
+        got = [
+            n for q, n in zip(out["query_id"].to_pylist(), out["neighbor_id"].to_pylist())
+            if q == queries["vec_id"][qi].as_py()
+        ]
+        assert got == want
+
+
+def test_knn_lsh_recall(ray_session):
+    import pyarrow.parquet as pq
+
+    from kgray.extras.annsearch import knn_brute, knn_lsh
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ds = ray.data.from_arrow(t)
+    queries = t.slice(0, 5)
+    exact = knn_brute(ds, queries, k=10)
+    approx = knn_lsh(ds, queries, k=10)
+
+    def sets(tbl):
+        d = {}
+        for q, n in zip(tbl["query_id"].to_pylist(), tbl["neighbor_id"].to_pylist()):
+            d.setdefault(q, set()).add(n)
+        return d
+
+    e, a = sets(exact), sets(approx)
+    recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_cosine_dup_pairs(ray_session):
+    from kgray.extras.annsearch import cosine_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 16))
+    vecs = [base[i] for i in range(20)] + [base[i] + rng.standard_normal(16) * 0.01 for i in range(5)]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(25), type=pa.int64()),
+            "embedding": pa.array([v.astype(np.float32).tolist() for v in vecs],
+                                  type=pa.list_(pa.float32())),
+        }
+    )
+    out = cosine_dup_pairs(ray.data.from_arrow(t), threshold=0.98)
+    pairs = set(zip(out["a"].to_pylist(), out["b"].to_pylist()))
+    for i in range(5):
+        assert (i, 20 + i) in pairs, (i, pairs)
+
+
+def test_textstats(ray_session):
+    from kgray.extras.textstats import langid, quality, fingerprint
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat and the dog sat in a house that is for sale, with a sign!",
+                    "der Hund und die Katze sind nicht mit der Maus zu sehen",
+                    "这是一个中文文档的示例文本 它应该被识别为中文",
+                ]
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    preds = dict(zip(*[langid(ds).to_pandas()[c] for c in ("doc_id", "lang_pred")]))
+    assert preds[0] == "en" and preds[1] == "de" and preds[2] == "zh"
+
+    q = quality(ds).to_pandas().set_index("doc_id")
+    assert q.loc[0, "n_words"] == len(t["text"][0].as_py().split())
+    assert 0 < q.loc[0, "punct_ratio"] < 0.1
+    assert q.loc[0, "stopword_ratio"] > 0.2
+
+    f1 = fingerprint(ds).to_pandas()
+    f2 = fingerprint(ds).to_pandas()
+    assert (f1["fingerprint"] == f2["fingerprint"]).all()  # deterministic
+    assert f1["fingerprint"].nunique() == 3
+
+
+def test_multimodal_plumbing(ray_session):
+    from kgray.extras import multimodal
+
+    t = multimodal.make_image_table(40)
+    ds = ray.data.from_arrow(t)
+    meta = multimodal.image_metadata(ds).to_pandas().set_index("img_id")
+    assert meta["header_ok"].all()
+    src = t.to_pandas().set_index("img_id")
+    assert (meta["parsed_width"] == src["width"]).all()
+    assert (meta["parsed_height"] == src["height"]).all()
+
+    feats = multimodal.featurize_images(ds, batch_size=16, concurrency=2).to_pandas()
+    assert feats["decode_ok"].all()
+    assert all(len(v) == multimodal.FEAT_DIM for v in feats["feature"])
+
+    # unknown format -> NotImplementedError path, flagged not raised
+    bad = pa.table(
+        {
+            "img_id": pa.array([99], type=pa.int64()),
+            "image": pa.array([b"\x89PNGxxxx"], type=pa.binary()),
+            "format": pa.array(["png"]),
+            "width": pa.array([1], type=pa.int32()),
+            "height": pa.array([1], type=pa.int32()),
+        }
+    )
+    out = multimodal.featurize_images(ray.data.from_arrow(bad), batch_size=4).to_pandas()
+    assert not out["decode_ok"].iloc[0]
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNGxxxx", "png")

@@ -69,6 +69,7 @@ def _oracle_names():
     "custs_without_orders", "top_orders", "distinct_user_event", "string_funcs",
     "orders_by_year", "json_props", "salted_events_agg", "union_names",
     "events_tumbling_hour", "doc_token_counts", "distinct_texts", "doc_regex_tokens",
+    "dedup_exact_docs", "knn_search", "doc_quality",
 ])
 def test_query_vs_duckdb(ray_session, con, name):
     import __ray_entry__ as e
@@ -103,3 +104,20 @@ def test_kg_queries_run(ray_session):
     q = e.queries()
     assert q["kg_mentions"](SF_DIR).count() > 0
     assert q["kg_canonical"](SF_DIR).count() > 0
+
+
+def test_rows_only_queries_run(ray_session):
+    """Every non-oracled query must at least run and return a typed,
+    possibly-empty result (the driver records a rows-only check)."""
+    import pyarrow as pa
+
+    import __ray_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    rows_only = sorted(set(q) - set(o) - {"kg_triples", "kg_mentions", "kg_canonical"})
+    for name in rows_only:
+        res = q[name](SF_DIR)
+        df = _to_df(res)
+        assert df is not None, name
+        if isinstance(res, pa.Table):
+            assert res.schema.names, name  # typed even when empty
