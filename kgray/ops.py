@@ -173,3 +173,132 @@ def cents(col, scale: float = 100.0) -> pa.Array:
 
 
 AGGS = {"sum": Sum, "count": Count, "min": Min, "max": Max}
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    ts: str,
+    *,
+    right_suffix: str = "_r",
+    direction: str = "backward",
+) -> Dataset:
+    """As-of join (J-extra; Ray Data has none natively): for each left
+    row, the right row with the same key and the nearest `ts` at or
+    before it (direction="backward").
+
+    Implementation: tagged union of both sides -> ONE hash shuffle on
+    the key -> per-key pandas merge_asof over the sorted group. The
+    partitioning assumption: a single key's rows fit one worker (true
+    for per-user/per-entity event streams; salt the key upstream if a
+    single entity's history is outsized)."""
+    import pandas as pd
+
+    lcols = [c for c in left.schema().names]
+    rcols = [c for c in right.schema().names]
+    # align schemas: left keeps its columns; right's non-key/ts columns
+    # are carried through with a suffix (pandas per batch for the union)
+    rv = [c for c in rcols if c not in (key, ts)]
+
+    def prep_l(df):
+        for c in rv:
+            df[f"{c}{right_suffix}"] = None
+        df["_side"] = np.int8(0)
+        return df
+
+    def prep_r(df):
+        res = df[[key, ts]].copy()
+        for c in rv:
+            res[f"{c}{right_suffix}"] = df[c]
+        for c in lcols:
+            if c not in (key, ts):
+                res[c] = None
+        res["_side"] = np.int8(1)
+        return res
+
+    lt = left.map_batches(prep_l, batch_format="pandas")
+    rt = right.map_batches(prep_r, batch_format="pandas")
+    both = lt.union(rt)
+
+    rsuf = [f"{c}{right_suffix}" for c in rv]
+    lrest = [c for c in lcols if c not in (key, ts)]
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0].sort_values(ts, kind="mergesort")
+        rg = g[g["_side"] == 1].sort_values(ts, kind="mergesort")
+        if len(lg) == 0:
+            return lg.drop(columns=["_side"])
+        l_part = lg[[key, ts] + lrest]
+        r_part = rg[[ts] + rsuf].rename(columns={ts: f"{ts}{right_suffix}"})
+        merged = pd.merge_asof(
+            l_part,
+            r_part,
+            left_on=ts,
+            right_on=f"{ts}{right_suffix}",
+            direction=direction,
+        )
+        return merged
+
+    return both.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def sessionize(
+    ds: Dataset,
+    key: str,
+    ts: str,
+    *,
+    gap_seconds: float,
+    agg_cols: list[str] | None = None,
+) -> Dataset:
+    """Session windows (streaming-shaped op per the Ray guide): events
+    sorted per key; a gap > gap_seconds starts a new session. Emits one
+    row per session: (key, session_idx, n_events, t_start, t_end).
+    One shuffle on the key; ordering done inside the group."""
+    import pandas as pd
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts, kind="mergesort")
+        gaps = g[ts].diff().dt.total_seconds().fillna(float("inf"))
+        session = (gaps > gap_seconds).cumsum() - 1
+        out = (
+            g.assign(_s=session)
+            .groupby("_s")
+            .agg(n_events=(ts, "size"), t_start=(ts, "min"), t_end=(ts, "max"))
+            .reset_index()
+        )
+        out[key] = g[key].iloc[0]
+        out = out.rename(columns={"_s": "session_idx"})
+        out["session_idx"] = out["session_idx"].astype("int64")
+        return out[[key, "session_idx", "n_events", "t_start", "t_end"]]
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def intersect_keys(left: Dataset, left_col: str, right: Dataset, right_col: str) -> Dataset:
+    """U4 INTERSECT on single key columns: distinct left keys present
+    in the (broadcast) right key set."""
+    vals = set(right.unique(right_col))
+    return distinct(semi_join_filter(left.select_columns([left_col]), left_col, vals), [left_col])
+
+
+def except_keys(left: Dataset, left_col: str, right: Dataset, right_col: str) -> Dataset:
+    """U4 EXCEPT on single key columns."""
+    vals = set(right.unique(right_col))
+    return distinct(anti_join_filter(left.select_columns([left_col]), left_col, vals), [left_col])
+
+
+def group_topk(
+    ds: Dataset, group_key: str, order_cols: list[str], k: int, ascending: list[bool]
+) -> Dataset:
+    """O2 per-group top-k: one shuffle on the group key, vectorized
+    sort+head inside each group."""
+    import pandas as pd
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(order_cols, ascending=ascending, kind="mergesort").head(k)
+        out = out.reset_index(drop=True)
+        out["rn"] = (out.index + 1).astype("int64")
+        return out
+
+    return ds.groupby(group_key).map_groups(per_group, batch_format="pandas")

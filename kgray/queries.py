@@ -704,3 +704,148 @@ ORACLE_SQL.update(
         "doc_quality": SQL_DOC_QUALITY,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Advanced relational operators: as-of join, session windows, set ops,
+# per-group top-k, seeded sampling
+
+
+def q_events_asof(sf_dir: str):
+    """For each click event, the same user's most recent purchase at or
+    before it (ops.asof_join: tagged union + per-key merge_asof)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+
+    def split(et):
+        return ev.map_batches(
+            lambda b, et=et: b.filter(pc.equal(b["event_type"], et)).drop_columns(
+                ["event_type"]
+            ),
+            batch_format="pyarrow",
+        )
+
+    left = split("click")
+    right = split("purchase")
+    out = ops.asof_join(left, right, key="user_id", ts="ts", right_suffix="_r")
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            [
+                {"event_id": "click_id", "event_id_r": "purchase_id", "ts_r": "purchase_ts"}.get(c, c)
+                for c in b.column_names
+            ]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENTS_ASOF = """
+SELECT a.user_id, a.ts, a.event_id AS click_id,
+       b.ts AS purchase_ts, b.event_id AS purchase_id
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') a
+ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+"""
+
+
+def q_events_sessionize(sf_dir: str):
+    """Session windows per user (gap > 4 hours starts a new session)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return ops.sessionize(ev, key="user_id", ts="ts", gap_seconds=4 * 3600)
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 4 HOUR OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM marked
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+def q_users_with_custkey(sf_dir: str):
+    """U4 INTERSECT: distinct event users that are customer keys."""
+    ev = _read(sf_dir, "events", ["user_id"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    return ops.intersect_keys(ev, "user_id", cust, "c_custkey")
+
+
+SQL_USERS_WITH_CUSTKEY = """
+SELECT user_id FROM events INTERSECT SELECT c_custkey FROM customer
+"""
+
+
+def q_custkeys_without_events(sf_dir: str):
+    """U4 EXCEPT: customer keys with no events."""
+    ev = _read(sf_dir, "events", ["user_id"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    return ops.except_keys(cust, "c_custkey", ev, "user_id")
+
+
+SQL_CUSTKEYS_WITHOUT_EVENTS = """
+SELECT c_custkey FROM customer EXCEPT SELECT user_id FROM events
+"""
+
+
+def q_priority_top3_orders(sf_dir: str):
+    """O2 per-group top-k: top 3 orders by totalprice per priority."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+    return ops.group_topk(
+        ds, "o_orderpriority", ["o_totalprice", "o_orderkey"], 3, ascending=[False, True]
+    )
+
+
+SQL_PRIORITY_TOP3 = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+def q_sample_orders(sf_dir: str):
+    """O3: seeded random sample (rows-only — RNG differs from SQL)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.random_sample(0.05, seed=42)
+
+
+def q_kg_stats(sf_dir: str):
+    """A2 over the KG output: triples per predicate (statistics.py
+    parity, SURVEY §2.5)."""
+    from . import fixtures, pipeline
+
+    triples = pipeline.flagship(fixtures.corpus_path(_kg_scale(sf_dir)), fixtures.vocab_path())
+    return ops.grouped_sum_count(triples.drop_columns(["bucket"]), keys=["pred"], sums=[], count_alias="n")
+
+
+QUERIES.update(
+    {
+        "events_asof": q_events_asof,
+        "events_sessionize": q_events_sessionize,
+        "users_with_custkey": q_users_with_custkey,
+        "custkeys_without_events": q_custkeys_without_events,
+        "priority_top3_orders": q_priority_top3_orders,
+        "sample_orders": q_sample_orders,
+        "kg_stats": q_kg_stats,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "events_asof": SQL_EVENTS_ASOF,
+        "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "users_with_custkey": SQL_USERS_WITH_CUSTKEY,
+        "custkeys_without_events": SQL_CUSTKEYS_WITHOUT_EVENTS,
+        "priority_top3_orders": SQL_PRIORITY_TOP3,
+    }
+)

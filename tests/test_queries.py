@@ -70,6 +70,8 @@ def _oracle_names():
     "orders_by_year", "json_props", "salted_events_agg", "union_names",
     "events_tumbling_hour", "doc_token_counts", "distinct_texts", "doc_regex_tokens",
     "dedup_exact_docs", "knn_search", "doc_quality",
+    "events_asof", "events_sessionize", "users_with_custkey",
+    "custkeys_without_events", "priority_top3_orders",
 ])
 def test_query_vs_duckdb(ray_session, con, name):
     import __ray_entry__ as e
@@ -114,7 +116,9 @@ def test_rows_only_queries_run(ray_session):
     import __ray_entry__ as e
 
     q, o = e.queries(), e.oracle_sql()
-    rows_only = sorted(set(q) - set(o) - {"kg_triples", "kg_mentions", "kg_canonical"})
+    rows_only = sorted(
+        set(q) - set(o) - {"kg_triples", "kg_mentions", "kg_canonical", "kg_stats"}
+    )
     for name in rows_only:
         res = q[name](SF_DIR)
         df = _to_df(res)
