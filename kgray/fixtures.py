@@ -175,112 +175,153 @@ def _typo(name: str, rng: np.random.Generator) -> str:
     return name[:pos - 1] + name[pos] + name[pos - 1] + name[pos + 1 :]  # transpose
 
 
-def composer_surface(name: str, idx: int, rng: np.random.Generator) -> str:
-    r = rng.random()
-    if r < 0.40:
-        s = name
-    elif r < 0.65:
-        s = _last_first(name)
-    elif r < 0.85:
-        y0, y1 = life_dates(idx)
-        s = f"{name} ({y0}-{y1})"
-    else:
-        s = _strip_marks(name)
-        if rng.random() < 0.5:
-            s = s.upper()
-    if rng.random() < 0.05:
-        s = _typo(s, rng)
-    return s
-
-
 def _zipf_probs(n: int, s: float = 1.3) -> np.ndarray:
     w = 1.0 / np.arange(1, n + 1) ** s
     return w / w.sum()
 
 
-def _work_title(wid: int, rng: np.random.Generator) -> str:
-    form = _FORMS[int(rng.integers(len(_FORMS)))]
-    key = _KEYS[int(rng.integers(len(_KEYS)))]
-    mode = _MODES[int(rng.integers(2))]
-    n = int(rng.integers(1, 40))
-    kind = int(rng.integers(3))
-    if kind == 0:
-        return f"{form} No. {n} in {key} {mode}"
-    if kind == 1:
-        op = int(rng.integers(1, 200))
-        return f"{form} in {key} {mode}, Op. {op}"
-    instr = _INSTRUMENTS[int(rng.integers(len(_INSTRUMENTS)))]
-    return f"Concerto for {instr} in {key} {mode}"
-
-
-def make_corpus(n_rows: int, seed: int = SEED) -> pa.Table:
-    """Seeded source-repo corpus table, input_hint shape (BASELINE.json)."""
-    rng = np.random.default_rng(seed)
+def _work_attrs(n_works: int, seed: int) -> dict:
+    """Vectorized per-work attribute arrays (shared by ~3 rows each)."""
     pool = composer_pool()
-    probs = _zipf_probs(len(pool))
-    n_works = max(1, n_rows // 3)
-
-    # per-work attributes (work identity shared by ~3 rows)
     wrng = np.random.default_rng(seed + 1)
-    w_composer = wrng.choice(len(pool), size=n_works, p=probs)
-    w_titles = [_work_title(w, wrng) for w in range(n_works)]
-    w_years = 1650 + wrng.integers(0, 250, size=n_works)
-    w_month = wrng.integers(1, 13, size=n_works)
-    w_day = wrng.integers(1, 29, size=n_works)
-    w_n_instr = wrng.integers(1, 5, size=n_works)
-    w_instr = [
-        [_INSTRUMENTS[int(x)] for x in wrng.integers(0, len(_INSTRUMENTS), size=int(k))]
-        for k in w_n_instr
-    ]
-
-    langs = rng.choice(["musicxml", "mei", "txt"], size=n_rows, p=[0.70, 0.25, 0.05])
-    measures = _measure_pool()
-    n_measures = rng.integers(8, 20, size=n_rows)
-    repo, path, commit, content = [], [], [], []
-    for i in range(n_rows):
-        wid = i % n_works
-        cidx = int(w_composer[wid])
-        lang = langs[i]
-        comp = composer_surface(pool[cidx], cidx, rng)
-        body = "\n".join(
-            measures[k] for k in rng.integers(0, len(measures), size=int(n_measures[i]))
-        )
-        dr = rng.random()
-        if dr < 0.5:
-            date = f"{w_years[wid]:04d}-{w_month[wid]:02d}-{w_day[wid]:02d}"
-        elif dr < 0.8:
-            date = f"{w_years[wid]:04d}"
+    w_composer = wrng.choice(len(pool), size=n_works, p=_zipf_probs(len(pool)))
+    forms = wrng.integers(0, len(_FORMS), size=n_works)
+    keys = wrng.integers(0, len(_KEYS), size=n_works)
+    modes = wrng.integers(0, 2, size=n_works)
+    nums = wrng.integers(1, 40, size=n_works)
+    kinds = wrng.integers(0, 3, size=n_works)
+    opus = wrng.integers(1, 200, size=n_works)
+    t_instr = wrng.integers(0, len(_INSTRUMENTS), size=n_works)
+    titles = []
+    for w in range(n_works):
+        form, key, mode = _FORMS[forms[w]], _KEYS[keys[w]], _MODES[modes[w]]
+        if kinds[w] == 0:
+            titles.append(f"{form} No. {nums[w]} in {key} {mode}")
+        elif kinds[w] == 1:
+            titles.append(f"{form} in {key} {mode}, Op. {opus[w]}")
         else:
-            date = f"c. {w_years[wid]:04d}"
-        title = w_titles[wid]
+            titles.append(f"Concerto for {_INSTRUMENTS[t_instr[w]]} in {key} {mode}")
+    n_instr = wrng.integers(1, 5, size=n_works)
+    flat = wrng.integers(0, len(_INSTRUMENTS), size=int(n_instr.sum()))
+    offs = np.concatenate([[0], np.cumsum(n_instr)])
+    instr = [
+        [_INSTRUMENTS[int(x)] for x in flat[offs[w] : offs[w + 1]]] for w in range(n_works)
+    ]
+    return {
+        "composer": w_composer,
+        "titles": titles,
+        "years": 1650 + wrng.integers(0, 250, size=n_works),
+        "month": wrng.integers(1, 13, size=n_works),
+        "day": wrng.integers(1, 29, size=n_works),
+        "instr": instr,
+    }
+
+
+SHARD_ROWS = 10_000
+
+
+def _corpus_shard(start: int, stop: int, n_works: int, w: dict, seed: int) -> pa.Table:
+    """Rows [start, stop) — deterministic given (seed, start//SHARD_ROWS),
+    so shards can be generated serially or in parallel with identical
+    bytes. All randomness is pre-drawn as arrays (per-row rng calls were
+    the old generator's bottleneck: 404s for 600k rows -> ~40s)."""
+    rng = np.random.default_rng([seed, start // SHARD_ROWS])
+    pool = composer_pool()
+    m = stop - start
+    measures = _measure_pool()
+    lang_r = rng.random(m)
+    variant_r = rng.random(m)
+    typo_r = rng.random(m)
+    case_r = rng.random(m)
+    date_r = rng.random(m)
+    malformed_r = rng.random(m)
+    n_measures = rng.integers(8, 20, size=m)
+    midx = rng.integers(0, len(measures), size=int(n_measures.sum()))
+    moffs = np.concatenate([[0], np.cumsum(n_measures)])
+    typo_aux = rng.random(m * 2)  # typo position + op draws
+
+    repo, path, commit, content, langs = [], [], [], [], []
+    for j in range(m):
+        i = start + j
+        wid = i % n_works
+        cidx = int(w["composer"][wid])
+        name = pool[cidx]
+        r = variant_r[j]
+        if r < 0.40:
+            comp = name
+        elif r < 0.65:
+            comp = _last_first(name)
+        elif r < 0.85:
+            y0, y1 = life_dates(cidx)
+            comp = f"{name} ({y0}-{y1})"
+        else:
+            comp = _strip_marks(name)
+            if case_r[j] < 0.5:
+                comp = comp.upper()
+        if typo_r[j] < 0.05 and len(comp) >= 4:
+            pos = 1 + int(typo_aux[2 * j] * (len(comp) - 2))
+            op = int(typo_aux[2 * j + 1] * 3)
+            if op == 0:
+                comp = comp[:pos] + comp[pos + 1 :]
+            elif op == 1:
+                c = chr(ord("a") + int(typo_aux[2 * j + 1] * 1000) % 26)
+                comp = comp[:pos] + c + comp[pos + 1 :]
+            else:
+                comp = comp[: pos - 1] + comp[pos] + comp[pos - 1] + comp[pos + 1 :]
+
+        lr = lang_r[j]
+        lang = "musicxml" if lr < 0.70 else ("mei" if lr < 0.95 else "txt")
+        dr = date_r[j]
+        if dr < 0.5:
+            date = f"{w['years'][wid]:04d}-{w['month'][wid]:02d}-{w['day'][wid]:02d}"
+        elif dr < 0.8:
+            date = f"{w['years'][wid]:04d}"
+        else:
+            date = f"c. {w['years'][wid]:04d}"
+        title = w["titles"][wid]
+        body = "\n".join(measures[k] for k in midx[moffs[j] : moffs[j + 1]])
         if lang == "musicxml":
             parts = "\n".join(
                 f'    <score-part id="P{k+1}"><part-name>{ins}</part-name></score-part>'
-                for k, ins in enumerate(w_instr[wid])
+                for k, ins in enumerate(w["instr"][wid])
             )
-            body = _MUSICXML_TMPL.format(
+            doc = _MUSICXML_TMPL.format(
                 wid=wid, title=title, composer=comp, date=date, parts=parts, body=body
             )
             ext = "musicxml"
         elif lang == "mei":
-            perfres = "\n".join(f"    <perfRes>{ins}</perfRes>" for ins in w_instr[wid])
-            body = _MEI_TMPL.format(
+            perfres = "\n".join(f"    <perfRes>{ins}</perfRes>" for ins in w["instr"][wid])
+            doc = _MEI_TMPL.format(
                 wid=wid, title=title, composer=comp, date=date, perfres=perfres, body=body
             )
             ext = "mei"
         else:
-            body = f"not a score: {title} by {comp}"
+            doc = f"not a score: {title} by {comp}"
             ext = "txt"
-        if lang != "txt" and rng.random() < 0.01:  # 1% malformed
-            body = body[: len(body) // 2]
+        if lang != "txt" and malformed_r[j] < 0.01:  # 1% malformed
+            doc = doc[: len(doc) // 2]
         repo.append(f"org{i % 50}/scores{i % 200}")
         path.append(f"scores/w{wid}/{i}.{ext}")
         commit.append(hashlib.sha256(f"commit{i}".encode()).hexdigest()[:12])
-        content.append(body)
+        content.append(doc)
+        langs.append(lang)
     return pa.table(
-        {"repo": repo, "path": path, "commit": commit, "lang": langs.tolist(), "content": content},
+        {"repo": repo, "path": path, "commit": commit, "lang": langs, "content": content},
         schema=schemas.CORPUS,
     )
+
+
+def make_corpus(n_rows: int, seed: int = SEED) -> pa.Table:
+    """Seeded source-repo corpus table, input_hint shape (BASELINE.json).
+    Shard-deterministic: identical bytes whether shards are built
+    serially here or in parallel Ray tasks (corpus_path)."""
+    n_works = max(1, n_rows // 3)
+    w = _work_attrs(n_works, seed)
+    shards = [
+        _corpus_shard(s, min(n_rows, s + SHARD_ROWS), n_works, w, seed)
+        for s in range(0, n_rows, SHARD_ROWS)
+    ]
+    return pa.concat_tables(shards)
 
 
 # ---------------------------------------------------------------------------
@@ -336,10 +377,8 @@ def make_vocab(seed: int = SEED) -> pa.Table:
         ent("europeana", f"europeana:instr/{k}", ins, "instrument", [ins.lower()])
 
     # work entities for a deterministic subset of work titles
-    wrng = np.random.default_rng(seed + 1)
     n_works_fixture = 400
-    _ = wrng.choice(len(pool), size=n_works_fixture, p=_zipf_probs(len(pool)))  # keep stream aligned
-    titles = [_work_title(w, wrng) for w in range(n_works_fixture)]
+    titles = _work_attrs(n_works_fixture, seed)["titles"]
     for wid in range(0, n_works_fixture, 4):
         t = titles[wid]
         ent("europeana", f"europeana:work/{wid}", t, "work", [])
@@ -357,17 +396,58 @@ SCALES = {"tiny": 2_000, "smoke": 20_000, "bench": 600_000}
 
 
 def corpus_path(scale: str, root: str = "/tmp/kgray_fixtures") -> str:
+    """Generate-once-and-cache the corpus parquet directory.
+
+    Shard generation is deterministic per (seed, shard), so when a Ray
+    session is live the shards are generated AND written in parallel
+    tasks — identical bytes to the serial path."""
     n = SCALES[scale]
     out = os.path.join(root, f"corpus_{scale}")
     marker = os.path.join(out, "_done")
-    if not os.path.exists(marker):
-        os.makedirs(out, exist_ok=True)
-        tbl = make_corpus(n)
-        nfiles = max(4, n // 10_000)
-        step = (len(tbl) + nfiles - 1) // nfiles
-        for f in range(nfiles):
-            pq.write_table(tbl.slice(f * step, step), os.path.join(out, f"part-{f:04d}.parquet"))
-        open(marker, "w").close()
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    n_works = max(1, n // 3)
+    bounds = [(s, min(n, s + SHARD_ROWS)) for s in range(0, n, SHARD_ROWS)]
+
+    use_ray = False
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and len(bounds) >= 8
+    except Exception:
+        pass
+
+    if use_ray:
+        import ray
+
+        w_ref = ray.put(_work_attrs(n_works, SEED))
+
+        @ray.remote
+        def gen_write(start: int, stop: int, idx: int) -> None:
+            t = _corpus_shard(start, stop, n_works, ray.get(w_ref), SEED)
+            pq.write_table(t, os.path.join(out, f"part-{idx:04d}.parquet"))
+
+        ray.get([gen_write.remote(s, e, i) for i, (s, e) in enumerate(bounds)])
+    else:
+        w = _work_attrs(n_works, SEED)
+        if len(bounds) < 4:
+            tbl = pa.concat_tables(
+                _corpus_shard(s, e, n_works, w, SEED) for s, e in bounds
+            )
+            nfiles = 4
+            step = (len(tbl) + nfiles - 1) // nfiles
+            for f in range(nfiles):
+                pq.write_table(
+                    tbl.slice(f * step, step), os.path.join(out, f"part-{f:04d}.parquet")
+                )
+        else:
+            for i, (s, e) in enumerate(bounds):
+                pq.write_table(
+                    _corpus_shard(s, e, n_works, w, SEED),
+                    os.path.join(out, f"part-{i:04d}.parquet"),
+                )
+    open(marker, "w").close()
     return out
 
 
