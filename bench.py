@@ -5,9 +5,10 @@
                                    # processes -> throughputs + efficiency
 
 Headline = the flagship KG pipeline (read -> parse/extract -> link ->
-triples -> distinct -> count) over the seeded bench corpus (200k rows,
-FIXTURES.md), CPU-bound. Per-query timings cover the shuffle-heavy
-generic operators over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+triples -> distinct -> count) over the seeded bench corpus (600k rows,
+~7.5 KB XML each — CPU-bound; FIXTURES.md). Per-query timings cover the
+shuffle-heavy generic operators over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1).
 """
 
 from __future__ import annotations

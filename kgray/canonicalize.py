@@ -42,3 +42,36 @@ def canonical_table(linked: Dataset) -> Dataset:
         *[Max(c, alias_name=c) for c in _LINK_COLS],
     )
     return merged
+
+
+def canonical_table_salted(linked: Dataset, nsalt: int = 16) -> Dataset:
+    """A4: the explicitly SALTED two-phase variant (north_star:
+    "skew-aware shuffles (salting hot composers like Bach/Mozart)").
+
+    Phase 1 shuffles on (mention_type, norm, salt): a hot key like
+    `johann sebastian bach` (the Zipf head is ~15% of agent mentions)
+    spreads over `nsalt` reducers instead of hammering one; phase 2
+    merges the nsalt partials per key. Produces EXACTLY the same table
+    as `canonical_table` (asserted in tests) — use this form when a
+    single reducer cannot hold a hot key's partials; the combiner form
+    when per-batch pre-aggregation already bounds them.
+    """
+    import numpy as np
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        salt = np.arange(len(batch), dtype=np.int64) % nsalt
+        return batch.append_column("_salt", pa.array(salt, type=pa.int64()))
+
+    phase1 = (
+        linked.map_batches(partial_canonical, batch_format="pyarrow")
+        .map_batches(add_salt, batch_format="pyarrow")
+        .groupby(["mention_type", "norm", "_salt"])
+        .aggregate(
+            Sum("n_partial", alias_name="n_salted"),
+            *[Max(c, alias_name=c) for c in _LINK_COLS],
+        )
+    )
+    return phase1.groupby(["mention_type", "norm"]).aggregate(
+        Sum("n_salted", alias_name="n_mentions"),
+        *[Max(c, alias_name=c) for c in _LINK_COLS],
+    )

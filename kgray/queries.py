@@ -849,3 +849,19 @@ ORACLE_SQL.update(
         "priority_top3_orders": SQL_PRIORITY_TOP3,
     }
 )
+
+
+def q_kg_canonical_salted(sf_dir: str):
+    """A4: the explicitly salted two-phase canonicalization (north_star
+    skew handling); same output as kg_canonical by construction."""
+    from . import fixtures, pipeline
+    from .canonicalize import canonical_table_salted
+
+    corpus = pipeline.read_corpus(fixtures.corpus_path(_kg_scale(sf_dir)))
+    linked = pipeline.build_linked(
+        pipeline.build_mentions(corpus, with_sha=False), fixtures.vocab_path()
+    )
+    return canonical_table_salted(linked, nsalt=16)
+
+
+QUERIES["kg_canonical_salted"] = q_kg_canonical_salted

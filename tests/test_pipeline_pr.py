@@ -72,6 +72,47 @@ def test_sha_invariant(ray_session, tiny_corpus, oracle_result):
     assert mismatches == 0
 
 
+def test_salted_canonicalize_equals_combiner(ray_session, tiny_corpus, vocab_file):
+    """A4 explicit salting == combiner two-phase, row for row."""
+    from kgray.canonicalize import canonical_table, canonical_table_salted
+
+    corpus = ray.data.from_arrow(tiny_corpus)
+    linked = pipeline.build_linked(
+        pipeline.build_mentions(corpus, with_sha=False), vocab_file
+    )
+    a = canonical_table(linked).to_pandas()
+    linked2 = pipeline.build_linked(
+        pipeline.build_mentions(ray.data.from_arrow(tiny_corpus), with_sha=False),
+        vocab_file,
+    )
+    b = canonical_table_salted(linked2, nsalt=8).to_pandas()
+    key = ["mention_type", "norm"]
+    a = a.sort_values(key, ignore_index=True)[sorted(a.columns)]
+    b = b.sort_values(key, ignore_index=True)[sorted(b.columns)]
+    assert a.equals(b)
+
+
+def test_actor_mode_linking_equals_task_mode(ray_session, tiny_corpus, vocab_file):
+    """The contract's stateful actor-pool path must produce exactly the
+    task-broadcast path's output (same link_transform, different
+    execution mode)."""
+    corpus = ray.data.from_arrow(tiny_corpus).limit(300)
+    m = pipeline.build_mentions(corpus, with_sha=False)
+    t = (
+        pipeline.build_linked(m, vocab_file, mode="tasks")
+        .to_pandas()
+        .sort_values(["doc_key", "mention_type", "surface"], ignore_index=True)
+    )
+    corpus2 = ray.data.from_arrow(tiny_corpus).limit(300)
+    m2 = pipeline.build_mentions(corpus2, with_sha=False)
+    a = (
+        pipeline.build_linked(m2, vocab_file, mode="actors", concurrency=2)
+        .to_pandas()
+        .sort_values(["doc_key", "mention_type", "surface"], ignore_index=True)
+    )
+    assert t.equals(a)
+
+
 def test_canonical_table_agrees(ray_session, tiny_corpus, vocab_file, oracle_result):
     """Engine canonicalization aggregate == oracle canonical map (spec §7)."""
     from kgray.canonicalize import canonical_table
