@@ -454,16 +454,28 @@ def _kg_scale(sf_dir: str) -> str:
     return "smoke"
 
 
+def _kg_blocks() -> int:
+    import ray
+
+    return 4 * max(4, int(ray.cluster_resources().get("CPU", 8)))
+
+
 def q_kg_triples(sf_dir: str):
     from . import fixtures, pipeline
 
-    return pipeline.flagship(fixtures.corpus_path(_kg_scale(sf_dir)), fixtures.vocab_path())
+    return pipeline.flagship(
+        fixtures.corpus_path(_kg_scale(sf_dir)),
+        fixtures.vocab_path(),
+        override_num_blocks=_kg_blocks(),
+    )
 
 
 def q_kg_mentions(sf_dir: str):
     from . import fixtures, pipeline
 
-    corpus = pipeline.read_corpus(fixtures.corpus_path(_kg_scale(sf_dir)))
+    corpus = pipeline.read_corpus(
+        fixtures.corpus_path(_kg_scale(sf_dir)), override_num_blocks=_kg_blocks()
+    )
     return pipeline.build_mentions(corpus, with_sha=False)
 
 
@@ -471,7 +483,9 @@ def q_kg_canonical(sf_dir: str):
     from . import fixtures, pipeline
     from .canonicalize import canonical_table
 
-    corpus = pipeline.read_corpus(fixtures.corpus_path(_kg_scale(sf_dir)))
+    corpus = pipeline.read_corpus(
+        fixtures.corpus_path(_kg_scale(sf_dir)), override_num_blocks=_kg_blocks()
+    )
     linked = pipeline.build_linked(
         pipeline.build_mentions(corpus, with_sha=False), fixtures.vocab_path()
     )
@@ -824,7 +838,11 @@ def q_kg_stats(sf_dir: str):
     parity, SURVEY §2.5)."""
     from . import fixtures, pipeline
 
-    triples = pipeline.flagship(fixtures.corpus_path(_kg_scale(sf_dir)), fixtures.vocab_path())
+    triples = pipeline.flagship(
+        fixtures.corpus_path(_kg_scale(sf_dir)),
+        fixtures.vocab_path(),
+        override_num_blocks=_kg_blocks(),
+    )
     return ops.grouped_sum_count(triples.drop_columns(["bucket"]), keys=["pred"], sums=[], count_alias="n")
 
 
@@ -857,7 +875,9 @@ def q_kg_canonical_salted(sf_dir: str):
     from . import fixtures, pipeline
     from .canonicalize import canonical_table_salted
 
-    corpus = pipeline.read_corpus(fixtures.corpus_path(_kg_scale(sf_dir)))
+    corpus = pipeline.read_corpus(
+        fixtures.corpus_path(_kg_scale(sf_dir)), override_num_blocks=_kg_blocks()
+    )
     linked = pipeline.build_linked(
         pipeline.build_mentions(corpus, with_sha=False), fixtures.vocab_path()
     )
