@@ -6,10 +6,17 @@ Scale design:
 - Brute force: the query matrix is broadcast (`ray.put` once); each
   batch does one float64 GEMM against it and emits only its LOCAL
   top-k per query — exact after the tiny global merge (per-batch
-  top-k union contains the global top-k).
-- LSH: random-hyperplane signatures; only (table, bucket, vec_id)
-  rows shuffle; candidates re-scored exactly. Approximate — recall
-  measured in tests against brute force.
+  top-k union contains the global top-k). Local pruning uses the SAME
+  (round(cos,4) desc, id asc) order as the global merge, so a
+  4-decimal tie can never be pruned locally yet win globally.
+- LSH: random-hyperplane signatures; the candidate id set stays a
+  Dataset and semi-joins back to the vector table (hash join) — no
+  driver round-trip of ids; candidates re-scored exactly.
+  Approximate — recall measured in tests against brute force.
+- Near-dup pairs: LSH-bucketed candidates, then DISTRIBUTED exact
+  rescore: the pair set hash-joins to the embedding table on `a` then
+  `b` and the cosine runs inside `map_batches` (the embeddings are
+  never materialized on the driver).
 """
 
 from __future__ import annotations
@@ -19,6 +26,8 @@ import pyarrow as pa
 
 import ray
 from ray.data import Dataset
+
+from .. import ops
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -57,12 +66,15 @@ def knn_brute(
         out_q, out_n, out_c = [], [], []
         kk = min(k, len(ids))
         for j in range(q.shape[0]):
-            col = sims[:, j]
-            part = np.argpartition(-col, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
-            for i in part:
+            # local prune under the GLOBAL merge order (rounded score
+            # desc, id asc) — a tie at 4 decimals with a smaller id is
+            # never cut here only to be wanted by the merge
+            col_r = np.round(sims[:, j], 4)
+            order = np.lexsort((ids, -col_r))[:kk]
+            for i in order:
                 out_q.append(j)
                 out_n.append(int(ids[i]))
-                out_c.append(float(col[i]))
+                out_c.append(float(col_r[i]))
         return pa.table(
             {
                 "qj": pa.array(out_q, type=pa.int32()),
@@ -71,16 +83,24 @@ def knn_brute(
             }
         )
 
-    cand = ds.map_batches(local_topk, batch_size=None, batch_format="pyarrow").to_pandas()
+    cand = ops.collect_table(
+        ds.map_batches(local_topk, batch_size=None, batch_format="pyarrow"),
+        schema=pa.schema(
+            [("qj", pa.int32()), ("neighbor_id", pa.int64()), ("cos", pa.float64())]
+        ),
+    )  # bounded: n_blocks x nq x k candidate rows
+    qj = cand["qj"].to_numpy()
+    nid = cand["neighbor_id"].to_numpy()
+    cos = cand["cos"].to_numpy()
     rows_q, rows_n, rows_c = [], [], []
     for j, qid in enumerate(qids):
-        sub = cand[cand["qj"] == j].copy()
-        sub["cos_r"] = sub["cos"].round(4)
-        sub = sub.sort_values(["cos_r", "neighbor_id"], ascending=[False, True])
-        for _, r in sub.head(k).iterrows():
+        sel = qj == j
+        ids_j, cos_j = nid[sel], cos[sel]
+        order = np.lexsort((ids_j, -cos_j))[:k]
+        for i in order:
             rows_q.append(qid)
-            rows_n.append(int(r["neighbor_id"]))
-            rows_c.append(float(r["cos_r"]))
+            rows_n.append(int(ids_j[i]))
+            rows_c.append(float(cos_j[i]))
     return pa.table(
         {
             "query_id": pa.array(rows_q, type=pa.int64()),
@@ -106,12 +126,14 @@ def knn_lsh(
     ntables: int = 16,
 ) -> pa.Table:
     """Approximate top-k: random-hyperplane LSH buckets, exact rescore
-    of bucket-mates. Only (table, bucket, vec_id) rows shuffle."""
+    of bucket-mates. Only (table, bucket, vec_id) rows shuffle; the
+    candidate id set SEMI-JOINS back to the vector table as a Dataset
+    (never collected to the driver)."""
     qm = _normalize(_to_matrix(queries[vec_col]))
     qids = queries[id_col].to_pylist()
     dim = qm.shape[1]
     planes = [_hyperplanes(dim, nbits, t) for t in range(ntables)]
-    # query buckets
+    # query buckets (tiny: nq x ntables codes) — broadcast once
     qbuckets = set()
     for t in range(ntables):
         bits = (qm @ planes[t].T) > 0
@@ -129,28 +151,53 @@ def knn_lsh(
         keep = set()
         for t in range(len(pl)):
             bits = (m @ pl[t].T) > 0
+            codes = bits.dot(1 << np.arange(pl[t].shape[0] - 1, -1, -1))
             for i in range(len(ids)):
-                code = int("".join("1" if x else "0" for x in bits[i]), 2)
-                if (t, code) in qb:
+                if (t, int(codes[i])) in qb:
                     keep.add(i)
         if not keep:
             return pa.table({id_col: pa.array([], pa.int64())})
-        idx = sorted(keep)
-        return batch.select([id_col]).take(idx)
+        return batch.select([id_col]).take(sorted(keep))
 
-    cand_ids = ds.map_batches(bucketize, batch_size=None, batch_format="pyarrow").to_pandas()
-    cand_set = sorted(set(cand_ids[id_col].tolist())) if len(cand_ids) else []
-    if not cand_set:
-        return pa.table(
-            {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()),
-             "cos": pa.array([], pa.float64())}
-        )
-    import pyarrow.compute as pc
-
-    sub = ds.map_batches(
-        lambda b: b.filter(pc.is_in(b[id_col], value_set=pa.array(cand_set))),
-        batch_format="pyarrow",
+    cand_ids = ops.distinct(
+        ds.map_batches(bucketize, batch_size=None, batch_format="pyarrow"), [id_col]
     )
+    # semi-join the candidate id set back to the vectors. pyarrow's
+    # hash join can't carry list<float> payloads, so vectors ride the
+    # join packed as raw float64 bytes and are unpacked after.
+    def pack(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch[vec_col])
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "_embbin": pa.array(
+                    [m[i].tobytes() for i in range(m.shape[0])], type=pa.binary()
+                ),
+            }
+        )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        blobs = batch["_embbin"].to_pylist()
+        if not blobs:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             vec_col: pa.array([], pa.list_(pa.float64()))})
+        flat = np.frombuffer(b"".join(blobs), dtype=np.float64)
+        m = flat.reshape(len(blobs), -1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                vec_col: pa.array(m.tolist(), type=pa.list_(pa.float64())),
+            }
+        )
+
+    joined = ops.hash_join(
+        ds.map_batches(pack, batch_format="pyarrow"),
+        cand_ids,
+        on=(id_col,),
+        right_on=(id_col,),
+        num_partitions=8,
+    )
+    sub = joined.map_batches(unpack, batch_format="pyarrow")
     return knn_brute(sub, queries, vec_col=vec_col, id_col=id_col, k=k)
 
 
@@ -164,8 +211,9 @@ def cosine_dup_pairs(
     ntables: int = 12,
 ) -> pa.Table:
     """Embedding-cosine near-duplicate pairs (a, b, cos >= threshold):
-    LSH-bucketed candidate generation + exact rescore (no quadratic
-    scan)."""
+    LSH-bucketed candidate generation + DISTRIBUTED exact rescore (the
+    pair set joins back to the embedding table; cosine in
+    map_batches). No quadratic scan, no driver materialization."""
 
     def bucket_rows(batch: pa.Table) -> pa.Table:
         m = _normalize(_to_matrix(batch[vec_col]))
@@ -188,26 +236,53 @@ def cosine_dup_pairs(
             }
         )
 
-    from .dedup import _pairs_from_buckets
+    from .dedup import join_pair_payload, pairs_from_buckets
 
     bucketed = ds.map_batches(bucket_rows, batch_size=None, batch_format="pyarrow")
-    cand = _pairs_from_buckets(bucketed, id_col, max_bucket=500)
-    vecs = {}
-    for r in ds.select_columns([id_col, vec_col]).take_all():
-        v = np.asarray(r[vec_col], dtype=np.float64)
-        n = np.linalg.norm(v)
-        vecs[r[id_col]] = v / n if n else v
-    a_c, b_c, c_c = [], [], []
-    for a, b in zip(cand["a"].to_pylist(), cand["b"].to_pylist()):
-        c = float(vecs[a] @ vecs[b])
-        if c >= threshold:
-            a_c.append(a)
-            b_c.append(b)
-            c_c.append(round(c, 4))
-    return pa.table(
-        {
-            "a": pa.array(a_c, type=pa.int64()),
-            "b": pa.array(b_c, type=pa.int64()),
-            "cos": pa.array(c_c, type=pa.float64()),
-        }
+    cand = pairs_from_buckets(bucketed, id_col, max_bucket=500)
+
+    # pyarrow's hash join can't carry list<float> payload columns —
+    # pack each embedding to raw float64 bytes for the join, unpack in
+    # the distributed verify
+    def pack(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch[vec_col])
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "_embbin": pa.array([m[i].tobytes() for i in range(m.shape[0])],
+                                    type=pa.binary()),
+            }
+        )
+
+    packed = ds.map_batches(pack, batch_format="pyarrow")
+    withvec = join_pair_payload(cand, packed, id_col, "_embbin")
+
+    def _unpack(col) -> np.ndarray:
+        blobs = col.to_pylist()
+        flat = np.frombuffer(b"".join(blobs), dtype=np.float64)
+        return flat.reshape(len(blobs), -1)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
+            )
+        va = _normalize(_unpack(batch["_embbin_a"]))
+        vb = _normalize(_unpack(batch["_embbin_b"]))
+        cos = np.einsum("ij,ij->i", va, vb)
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "a": batch["a"].filter(pa.array(keep)),
+                "b": batch["b"].filter(pa.array(keep)),
+                "cos": pa.array(np.round(cos[keep], 4), type=pa.float64()),
+            }
+        )
+
+    out = withvec.map_batches(verify, batch_format="pyarrow")
+    return ops.collect_table(
+        out,
+        schema=pa.schema([("a", pa.int64()), ("b", pa.int64()), ("cos", pa.float64())]),
+        sort_by=["a", "b"],
     )

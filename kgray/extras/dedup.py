@@ -6,11 +6,17 @@ Scale design notes
 ------------------
 - Exact: hash-partition on the text (or its sha) + per-partition
   first — one all-to-all of (key, id) pairs, never the texts twice.
-- MinHash-LSH: signatures are computed per batch (vectorized numpy
-  over the shingle-hash array), then ONLY the (band_id, band_hash,
-  doc_id) rows shuffle — ~bands x 16 bytes per doc regardless of text
-  size. Candidate pairs are verified with exact Jaccard; the verify
-  stage broadcasts the shingle sets only for candidate docs.
+- MinHash-LSH: signatures are computed per batch (ONE chunked
+  (perms x shingles) vectorized pass per batch with per-worker shingle
+  memoization — not per-doc np.outer), then ONLY the
+  (band_id, band_hash, doc_id) rows shuffle — ~bands x 16 bytes per
+  doc regardless of text size.
+- Candidate VERIFICATION is fully distributed: candidate pairs stay a
+  Dataset, are hash-joined back to the payload table (text / simhash /
+  embedding) on `a` then on `b`, and the exact measure
+  (Jaccard / Hamming / cosine) runs inside `map_batches`. Nothing
+  corpus-sized ever reaches the driver — only the verified pair list
+  (bounded output) is collected, via `ops.collect_table`.
 - SimHash: one int64 per doc; near-dup candidates via banding the
   64-bit fingerprint into 4x16-bit chunks (Hamming distance <= 3 ==
   at least one identical chunk), same shuffle shape as LSH.
@@ -25,11 +31,14 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
+from .. import ops
+
 MERSENNE = (1 << 61) - 1
+
+PAIR_JOIN_PARTITIONS = 8  # candidate-pair verify joins; ~2x cores at scale
 
 
 def _stable64(s: str) -> int:
@@ -45,6 +54,24 @@ def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     return np.fromiter((_stable64(s) for s in sh), dtype=np.uint64, count=len(sh))
 
 
+def _shingle_hashes_memo(text: str, k: int, memo: dict[str, int]) -> np.ndarray:
+    """Same values as `shingle_hashes`, with the blake2b of each
+    distinct shingle memoized across docs (near-dup corpora repeat
+    shingles heavily; the memo lives per map task)."""
+    if len(text) < k:
+        sh = {text} if text else set()
+    else:
+        sh = {text[i : i + k] for i in range(len(text) - k + 1)}
+    out = np.empty(len(sh), dtype=np.uint64)
+    for i, s in enumerate(sh):
+        h = memo.get(s)
+        if h is None:
+            h = _stable64(s)
+            memo[s] = h
+        out[i] = h
+    return out
+
+
 def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.uint64)
@@ -53,12 +80,148 @@ def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
 
 
 def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(num_perm,) uint64 signature; empty doc -> all MERSENNE."""
+    """(num_perm,) uint64 signature; empty doc -> all MERSENNE.
+    (Reference per-doc form — the batched path below must produce
+    identical values; parity-tested in tests/test_extras.py.)"""
     if len(hashes) == 0:
         return np.full(len(a), MERSENNE, dtype=np.uint64)
     # (p, m) broadcast; mod 2^61-1 keeps everything in uint64 range
     v = (np.outer(a, hashes) + b[:, None]) % MERSENNE
     return v.min(axis=1)
+
+
+# Chunk sizes keep every temporary L2-resident: on this host a
+# (64 x n) uint64 elementwise pass costs ~8 ns/elem while n <= 4096
+# (2 MB) but ~800 ns/elem once the temporaries spill to shared L3/DRAM
+# (measured) — chunking is a 100x lever, not a nicety.
+_SIG_CHUNK = 4096
+
+
+def minhash_signatures_batch(
+    hash_arrays: list[np.ndarray], a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(n_docs, num_perm) uint64 signatures in chunked vectorized
+    passes: docs are grouped into ~_SIG_CHUNK-shingle runs, then one
+    (perms x shingles) multiply-add-mod + per-doc segmented min
+    (np.minimum.reduceat) per run. Bit-identical to mapping
+    `minhash_signature` over the docs (same uint64 op order)."""
+    n = len(hash_arrays)
+    num_perm = len(a)
+    out = np.full((n, num_perm), MERSENNE, dtype=np.uint64)
+    group: list[int] = []
+    group_len = 0
+
+    def flush(group: list[int]) -> None:
+        flat = np.concatenate([hash_arrays[i] for i in group])
+        lens = np.array([len(hash_arrays[i]) for i in group])
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        v = (a[:, None] * flat[None, :] + b[:, None]) % MERSENNE  # (P, m)
+        mins = np.minimum.reduceat(v, starts, axis=1)  # (P, n_group)
+        out[group, :] = mins.T
+
+    for i in range(n):
+        if len(hash_arrays[i]) == 0:
+            continue  # stays all-MERSENNE
+        group.append(i)
+        group_len += len(hash_arrays[i])
+        if group_len >= _SIG_CHUNK:
+            flush(group)
+            group, group_len = [], 0
+    if group:
+        flush(group)
+    return out
+
+
+def minhash_signatures_vocab(
+    texts: list[str],
+    k: int,
+    a: np.ndarray,
+    b: np.ndarray,
+    memo: dict[str, int],
+) -> np.ndarray:
+    """Fast batched signatures via a per-batch shingle VOCABULARY:
+
+    1. map each doc's windows to column ids in a batch-level vocab
+       (one dict pass; duplicate windows are harmless — the min over
+       repeated columns equals the min over the set),
+    2. hash each DISTINCT shingle once (blake2b, memoized across
+       batches per worker),
+    3. compute the (perms x vocab) permutation matrix V once, in
+       L2-sized column chunks,
+    4. per doc, signature = column-gather of V + segmented min
+       (np.minimum.reduceat), again in L2-sized runs.
+
+    Corpora repeat shingles heavily, so |vocab| << total windows and
+    the multiply-add-mod work collapses to the vocab size.
+    Bit-identical to `minhash_signature` per doc (parity-tested)."""
+    vocab: dict[str, int] = {}
+
+    def build_idx(t: str) -> np.ndarray:
+        n_t = len(t)
+        if n_t == 0:
+            return np.empty(0, dtype=np.int64)
+        n_w = 1 if n_t < k else n_t - k + 1
+        try:
+            # steady-state fast path: C-level map over dict lookups
+            # (a KeyError falls back to the populating loop below)
+            return np.fromiter(
+                map(vocab.__getitem__, (t[i : i + k] for i in range(n_w))),
+                np.int64,
+                n_w,
+            )
+        except KeyError:
+            ids = np.empty(n_w, dtype=np.int64)
+            for j in range(n_w):
+                w = t[j : j + k]
+                ci = vocab.get(w)
+                if ci is None:
+                    ci = vocab[w] = len(vocab)
+                ids[j] = ci
+            return ids
+
+    doc_idx = [build_idx(t) for t in texts]
+
+    num_perm = len(a)
+    n_docs = len(texts)
+    out = np.full((n_docs, num_perm), MERSENNE, dtype=np.uint64)
+    if not vocab:
+        return out
+    u = np.empty(len(vocab), dtype=np.uint64)
+    for w, ci in vocab.items():
+        h = memo.get(w)
+        if h is None:
+            h = _stable64(w)
+            memo[w] = h
+        u[ci] = h
+    # permutation matrix over the distinct shingles, chunked in-cache;
+    # stored (vocab x perms) so the per-doc gather is a contiguous
+    # ROW gather
+    vt = np.empty((len(u), num_perm), dtype=np.uint64)
+    for s in range(0, len(u), _SIG_CHUNK):
+        e = min(s + _SIG_CHUNK, len(u))
+        vt[s:e, :] = ((a[:, None] * u[None, s:e] + b[:, None]) % MERSENNE).T
+
+    group: list[int] = []
+    group_len = 0
+
+    def flush(group: list[int]) -> None:
+        big = np.concatenate([doc_idx[i] for i in group])
+        lens = np.array([len(doc_idx[i]) for i in group])
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        g = vt[big]  # (run, P) row gather, L2-resident
+        out[group, :] = np.minimum.reduceat(g, starts, axis=0)
+
+    for i in range(n_docs):
+        if len(doc_idx[i]) == 0:
+            continue
+        group.append(i)
+        group_len += len(doc_idx[i])
+        if group_len >= _SIG_CHUNK:
+            flush(group)
+            group, group_len = [], 0
+    if group:
+        flush(group)
+    return out
 
 
 def exact_dedup(ds: Dataset, key_col: str, id_col: str) -> Dataset:
@@ -78,24 +241,23 @@ def minhash_bands(
     shingle_k: int = 5,
 ) -> Dataset:
     """Stage 1: (band_id, band_hash, doc_id) rows — the only thing
-    that shuffles."""
+    that shuffles. Signatures via the chunked batched kernel."""
     a, b = _perm_params(num_perm)
     rows_per_band = num_perm // bands
+    memo: dict[str, int] = {}  # per-task shingle-hash memo
 
     def _sig(batch: pa.Table) -> pa.Table:
+        if len(memo) > 4_000_000:  # bound per-worker memo growth
+            memo.clear()
         ids = batch[id_col].to_pylist()
         texts = batch[text_col].to_pylist()
-        band_id, band_hash, doc_id = [], [], []
-        for i, t in enumerate(texts):
-            sig = minhash_signature(shingle_hashes(t or "", shingle_k), a, b)
-            for bi in range(bands):
-                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                h = int.from_bytes(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
-                ) - (1 << 63)
-                band_id.append(bi)
-                band_hash.append(h)
-                doc_id.append(ids[i])
+        n = len(ids)
+        sigs = minhash_signatures_vocab(
+            [t or "" for t in texts], shingle_k, a, b, memo
+        )  # (n, P)
+        band_hash = band_hashes(sigs, bands, rows_per_band).reshape(-1)
+        band_id = np.tile(np.arange(bands, dtype=np.int32), n)
+        doc_id = np.repeat(np.asarray(ids, dtype=np.int64), bands)
         return pa.table(
             {
                 "band_id": pa.array(band_id, type=pa.int32()),
@@ -107,10 +269,37 @@ def minhash_bands(
     return ds.map_batches(_sig, batch_format="pyarrow")
 
 
-def _pairs_from_buckets(bucketed: Dataset, id_col: str, max_bucket: int = 200) -> pa.Table:
-    """Stage 2: groupby bucket -> emit candidate pairs (a < b),
-    deduped. Buckets larger than `max_bucket` are dropped (a degenerate
-    bucket means the banding is too coarse — log, don't explode)."""
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized (uint64 wraparound is the
+    defined numpy behavior — deterministic across processes, unlike
+    Python `hash()`)."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def band_hashes(sigs: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """(n_docs, bands) int64 bucket keys: a vectorized sequential
+    splitmix64 mix over each band's signature rows. Two docs share a
+    bucket iff their band chunks are equal (modulo a ~2^-64 collision)
+    — the same collision structure as any strong 64-bit chunk hash,
+    with zero per-row Python."""
+    n = sigs.shape[0]
+    bv = sigs.reshape(n, bands, rows_per_band)
+    h = np.full((n, bands), np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
+    for j in range(rows_per_band):
+        h = _mix64(h ^ bv[:, :, j])
+    return h.view(np.int64)
+
+
+def pairs_from_buckets(
+    bucketed: Dataset, id_col: str, max_bucket: int = 200
+) -> Dataset:
+    """Stage 2: groupby bucket -> candidate pairs (a < b), distinct —
+    all as a Dataset (the pair set shuffles; it never lands on the
+    driver). Buckets larger than `max_bucket` are dropped (a
+    degenerate bucket means the banding is too coarse — skip, don't
+    explode quadratically)."""
     import pandas as pd
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -127,11 +316,41 @@ def _pairs_from_buckets(bucketed: Dataset, id_col: str, max_bucket: int = 200) -
     pairs = bucketed.groupby(["band_id", "band_hash"]).map_groups(
         per_group, batch_format="pandas"
     )
-    pdf = pairs.to_pandas()
-    if len(pdf) == 0:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-    pdf = pdf.drop_duplicates().sort_values(["a", "b"], ignore_index=True)
-    return pa.Table.from_pandas(pdf[["a", "b"]], preserve_index=False)
+    return ops.distinct(pairs, ["a", "b"])
+
+
+def join_pair_payload(
+    pairs: Dataset,
+    payload: Dataset,
+    id_col: str,
+    payload_col: str,
+    *,
+    num_partitions: int = PAIR_JOIN_PARTITIONS,
+) -> Dataset:
+    """Attach `payload_col` for both pair members: two hash-partitioned
+    equi-joins (candidate pairs x payload on `a`, then `b`) producing
+    (a, b, <payload>_a, <payload>_b). The payload table shuffles by
+    key; the driver never sees it."""
+    # rename the payload column BEFORE each join (renaming after a
+    # join can leave mixed block schemas in ray 2.49 — observed
+    # "different schema than the previous one" warnings + flaky
+    # FieldRef errors)
+    def side(suffix: str):
+        return payload.select_columns([id_col, payload_col]).map_batches(
+            lambda b, s=suffix: b.rename_columns([id_col, f"{payload_col}{s}"]),
+            batch_format="pyarrow",
+        )
+
+    j1 = ops.hash_join(
+        pairs, side("_a"), on=("a",), right_on=(id_col,), num_partitions=num_partitions
+    )
+    return ops.hash_join(
+        j1, side("_b"), on=("b",), right_on=(id_col,), num_partitions=num_partitions
+    )
+
+
+def _shingle_set(t: str, k: int) -> set:
+    return set(t[x : x + k] for x in range(max(1, len(t) - k + 1)))
 
 
 def minhash_lsh_pairs(
@@ -146,42 +365,51 @@ def minhash_lsh_pairs(
 ) -> pa.Table:
     """Near-duplicate pairs (a, b, jaccard) with exact-Jaccard verify.
 
-    The verify stage broadcasts shingle sets for CANDIDATE docs only
-    (at scale: a semi-join fetch of the candidate texts, not the
-    corpus)."""
-    texts = {
-        r[id_col]: r[text_col]
-        for r in ds.select_columns([id_col, text_col]).take_all()
-    }  # driver-held only for the verify of candidates; see docstring
+    Verification is distributed: candidate pairs hash-join back to the
+    text table on `a` then `b` (join_pair_payload) and the exact
+    Jaccard runs inside `map_batches`; only the verified pairs (the
+    bounded result) are collected."""
     bands_ds = minhash_bands(
         ds, text_col, id_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
     )
-    cand = _pairs_from_buckets(bands_ds, id_col)
-    a_c, b_c, j_c = [], [], []
-    cache: dict[int, set] = {}
+    cand = pairs_from_buckets(bands_ds, id_col)
+    withtext = join_pair_payload(cand, ds, id_col, text_col)
 
-    def sh(i):
-        s = cache.get(i)
-        if s is None:
-            t = texts.get(i) or ""
-            s = set(t[x : x + shingle_k] for x in range(max(1, len(t) - shingle_k + 1)))
-            cache[i] = s
-        return s
+    def verify(batch: pa.Table) -> pa.Table:
+        a_ids = batch["a"].to_pylist()
+        b_ids = batch["b"].to_pylist()
+        ta = batch[f"{text_col}_a"].to_pylist()
+        tb = batch[f"{text_col}_b"].to_pylist()
+        a_c, b_c, j_c = [], [], []
+        cache: dict[int, set] = {}
+        for i in range(len(a_ids)):
+            sa = cache.get(a_ids[i])
+            if sa is None:
+                sa = cache[a_ids[i]] = _shingle_set(ta[i] or "", shingle_k)
+            sb = cache.get(b_ids[i])
+            if sb is None:
+                sb = cache[b_ids[i]] = _shingle_set(tb[i] or "", shingle_k)
+            u = len(sa | sb)
+            j = (len(sa & sb) / u) if u else 0.0
+            if j >= threshold:
+                a_c.append(a_ids[i])
+                b_c.append(b_ids[i])
+                j_c.append(round(j, 4))
+        return pa.table(
+            {
+                "a": pa.array(a_c, type=pa.int64()),
+                "b": pa.array(b_c, type=pa.int64()),
+                "jaccard": pa.array(j_c, type=pa.float64()),
+            }
+        )
 
-    for a, b in zip(cand["a"].to_pylist(), cand["b"].to_pylist()):
-        sa, sb = sh(a), sh(b)
-        u = len(sa | sb)
-        j = (len(sa & sb) / u) if u else 0.0
-        if j >= threshold:
-            a_c.append(a)
-            b_c.append(b)
-            j_c.append(round(j, 4))
-    return pa.table(
-        {
-            "a": pa.array(a_c, type=pa.int64()),
-            "b": pa.array(b_c, type=pa.int64()),
-            "jaccard": pa.array(j_c, type=pa.float64()),
-        }
+    out = withtext.map_batches(verify, batch_format="pyarrow")
+    return ops.collect_table(
+        out,
+        schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+        ),
+        sort_by=["a", "b"],
     )
 
 
@@ -217,53 +445,65 @@ def simhash_table(ds: Dataset, text_col: str, id_col: str) -> Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (numpy 1.x has no
+    bitwise_count): unpack to bits bytewise and sum per word."""
+    by = x.astype(np.uint64).view(np.uint8).reshape(len(x), 8)
+    return np.unpackbits(by, axis=1).sum(axis=1).astype(np.int64)
+
+
 def simhash_pairs(
     ds: Dataset, text_col: str, id_col: str, *, max_hamming: int = 3
 ) -> pa.Table:
     """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4
     16-bit chunks (Hamming <= 3 guarantees one identical chunk),
-    bucket-join, verify exact Hamming distance."""
+    bucket-join, verify exact Hamming distance — the verify is a
+    distributed join of the pair set against the (id, simhash) table
+    (never a driver materialization of the fingerprints)."""
     sims = simhash_table(ds, text_col, id_col)
 
     def to_bands(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         hs = batch["simhash"].to_pylist()
-        band_id, band_hash, out_id, out_h = [], [], [], []
+        band_id, band_hash, out_id = [], [], []
         for i, h in enumerate(hs):
             uh = h + (1 << 63)
             for bi in range(4):
                 band_id.append(bi)
                 band_hash.append((uh >> (16 * bi)) & 0xFFFF)
                 out_id.append(ids[i])
-                out_h.append(h)
         return pa.table(
             {
                 "band_id": pa.array(band_id, type=pa.int32()),
                 "band_hash": pa.array(band_hash, type=pa.int64()),
                 id_col: pa.array(out_id, type=pa.int64()),
-                "simhash": pa.array(out_h, type=pa.int64()),
             }
         )
 
     bands_ds = sims.map_batches(to_bands, batch_format="pyarrow")
-    cand = _pairs_from_buckets(bands_ds, id_col)
-    # verify: recompute pair hamming from the simhash table (small)
-    hmap = {
-        r[id_col]: r["simhash"] + (1 << 63) for r in sims.take_all()
-    }
-    a_c, b_c, d_c = [], [], []
-    for a, b in zip(cand["a"].to_pylist(), cand["b"].to_pylist()):
-        d = bin(hmap[a] ^ hmap[b]).count("1")
-        if d <= max_hamming:
-            a_c.append(a)
-            b_c.append(b)
-            d_c.append(d)
-    return pa.table(
-        {
-            "a": pa.array(a_c, type=pa.int64()),
-            "b": pa.array(b_c, type=pa.int64()),
-            "hamming": pa.array(d_c, type=pa.int64()),
-        }
+    cand = pairs_from_buckets(bands_ds, id_col)
+    withsim = join_pair_payload(cand, sims, id_col, "simhash")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ha = batch["simhash_a"].combine_chunks().to_numpy().astype(np.int64)
+        hb = batch["simhash_b"].combine_chunks().to_numpy().astype(np.int64)
+        d = _popcount64((ha ^ hb).view(np.uint64))
+        keep = d <= max_hamming
+        return pa.table(
+            {
+                "a": batch["a"].filter(pa.array(keep)),
+                "b": batch["b"].filter(pa.array(keep)),
+                "hamming": pa.array(d[keep], type=pa.int64()),
+            }
+        )
+
+    out = withsim.map_batches(verify, batch_format="pyarrow")
+    return ops.collect_table(
+        out,
+        schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64())]
+        ),
+        sort_by=["a", "b"],
     )
 
 
@@ -277,36 +517,48 @@ def ngram_jaccard_topk(
     """Top-k most similar pairs by char-n-gram Jaccard.
 
     Candidates come from MinHash banding with a LOW threshold (more
-    bands of fewer rows), so no quadratic scan; exact Jaccard on the
-    candidates, global top-k. Always non-empty on non-trivial input."""
-    bands_ds = minhash_bands(ds, text_col, id_col, num_perm=64, bands=32, shingle_k=shingle_k)
-    cand = _pairs_from_buckets(bands_ds, id_col)
-    texts = {
-        r[id_col]: r[text_col]
-        for r in ds.select_columns([id_col, text_col]).take_all()
-    }
-    cache: dict[int, set] = {}
+    bands of fewer rows), so no quadratic scan; exact Jaccard runs
+    distributed (pairs joined back to texts, scored in map_batches);
+    the global top-k is a sort+limit over the scored pair set."""
+    bands_ds = minhash_bands(
+        ds, text_col, id_col, num_perm=64, bands=32, shingle_k=shingle_k
+    )
+    cand = pairs_from_buckets(bands_ds, id_col)
+    withtext = join_pair_payload(cand, ds, id_col, text_col)
 
-    def sh(i):
-        s = cache.get(i)
-        if s is None:
-            t = texts.get(i) or ""
-            s = set(t[x : x + shingle_k] for x in range(max(1, len(t) - shingle_k + 1)))
-            cache[i] = s
-        return s
+    def score(batch: pa.Table) -> pa.Table:
+        a_ids = batch["a"].to_pylist()
+        b_ids = batch["b"].to_pylist()
+        ta = batch[f"{text_col}_a"].to_pylist()
+        tb = batch[f"{text_col}_b"].to_pylist()
+        a_c, b_c, j_c = [], [], []
+        cache: dict[int, set] = {}
+        for i in range(len(a_ids)):
+            sa = cache.get(a_ids[i])
+            if sa is None:
+                sa = cache[a_ids[i]] = _shingle_set(ta[i] or "", shingle_k)
+            sb = cache.get(b_ids[i])
+            if sb is None:
+                sb = cache[b_ids[i]] = _shingle_set(tb[i] or "", shingle_k)
+            u = len(sa | sb)
+            if u:
+                a_c.append(a_ids[i])
+                b_c.append(b_ids[i])
+                j_c.append(round(len(sa & sb) / u, 4))
+        return pa.table(
+            {
+                "a": pa.array(a_c, type=pa.int64()),
+                "b": pa.array(b_c, type=pa.int64()),
+                "jaccard": pa.array(j_c, type=pa.float64()),
+            }
+        )
 
-    scored = []
-    for a, b in zip(cand["a"].to_pylist(), cand["b"].to_pylist()):
-        sa, sb = sh(a), sh(b)
-        u = len(sa | sb)
-        if u:
-            scored.append((round(len(sa & sb) / u, 4), a, b))
-    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
-    top = scored[:k]
-    return pa.table(
-        {
-            "a": pa.array([t[1] for t in top], type=pa.int64()),
-            "b": pa.array([t[2] for t in top], type=pa.int64()),
-            "jaccard": pa.array([t[0] for t in top], type=pa.float64()),
-        }
+    scored = withtext.map_batches(score, batch_format="pyarrow")
+    top = scored.sort(["jaccard", "a", "b"], descending=[True, False, False]).limit(k)
+    return ops.collect_table(
+        top,
+        schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+        ),
+        sort_by=[("jaccard", "descending"), ("a", "ascending"), ("b", "ascending")],
     )

@@ -156,6 +156,32 @@ def distinct(ds: Dataset, keys: list[str]) -> Dataset:
     return pre.groupby(keys).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
 
 
+def collect_table(
+    ds: Dataset, schema: pa.Schema, sort_by: list[str] | None = None
+) -> pa.Table:
+    """Driver collect of a BOUNDED result Dataset (verified pair
+    lists, top-k outputs — never corpus-sized data) into a pyarrow
+    Table with an explicit schema (empty Datasets lose their schema;
+    an explicit cast keeps possibly-empty query results
+    driver-comparable)."""
+    batches = ds.to_arrow_refs()
+    import ray as _ray
+
+    tables = [t for t in _ray.get(batches) if t is not None and t.num_rows >= 0]
+    if tables:
+        out = pa.concat_tables(
+            [t.select(schema.names).cast(schema) for t in tables if t.num_rows]
+            or [schema.empty_table()]
+        )
+    else:
+        out = schema.empty_table()
+    if sort_by and out.num_rows:
+        out = out.sort_by(
+            [(c, "ascending") if isinstance(c, str) else c for c in sort_by]
+        )
+    return out
+
+
 def topk(ds: Dataset, keys: list[str], k: int, descending=True) -> Dataset:
     """O2: global top-k = sort + limit (Ray's sort is a range-partition
     shuffle; limit prunes early)."""

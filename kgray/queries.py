@@ -685,13 +685,28 @@ def q_multimodal_features(sf_dir: str):
         )
 
     meta = multimodal.image_metadata(ds)
-    import pyarrow.parquet  # noqa: F401
-
-    f = feats.map_batches(flatten, batch_format="pyarrow").to_pandas()
-    m = meta.to_pandas()
-    return pa.Table.from_pandas(
-        m.merge(f, on="img_id").sort_values("img_id", ignore_index=True),
-        preserve_index=False,
+    # distributed merge (hash join on img_id), not a driver-side
+    # pandas merge — only the final bounded result is collected
+    joined = ops.hash_join(
+        meta,
+        feats.map_batches(flatten, batch_format="pyarrow"),
+        on=("img_id",),
+        num_partitions=NUM_JOIN_PARTITIONS,
+    )
+    return ops.collect_table(
+        joined,
+        schema=pa.schema(
+            [
+                ("img_id", pa.int64()),
+                ("parsed_width", pa.int32()),
+                ("parsed_height", pa.int32()),
+                ("header_ok", pa.bool_()),
+                ("payload_bytes", pa.int64()),
+                ("decode_ok", pa.bool_()),
+                ("feat_norm", pa.float64()),
+            ]
+        ),
+        sort_by=["img_id"],
     )
 
 

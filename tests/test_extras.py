@@ -174,6 +174,72 @@ def test_textstats(ray_session):
     assert f1["fingerprint"].nunique() == 3
 
 
+def test_minhash_batch_parity():
+    """The chunked/vocab batched signature kernels must be
+    bit-identical to the per-doc reference formulation."""
+    from kgray.extras import dedup
+
+    rng = np.random.default_rng(11)
+    words = [f"tok{i}" for i in range(50)]
+    texts = [
+        " ".join(words[j] for j in rng.integers(0, 50, size=int(n)))
+        for n in rng.integers(1, 80, size=40)
+    ]
+    texts += ["", "ab", "abcd", "abcde", "x" * 3, "same text", "same text"]
+    a, b = dedup._perm_params(64)
+    ref = [dedup.minhash_signature(dedup.shingle_hashes(t, 5), a, b) for t in texts]
+    vocab_sigs = dedup.minhash_signatures_vocab(texts, 5, a, b, {})
+    batch_sigs = dedup.minhash_signatures_batch(
+        [dedup.shingle_hashes(t, 5) for t in texts], a, b
+    )
+    for i in range(len(texts)):
+        assert (ref[i] == vocab_sigs[i]).all(), texts[i]
+        assert (ref[i] == batch_sigs[i]).all(), texts[i]
+
+
+def test_band_hashes_bucket_semantics():
+    """Band hashes collide exactly when band chunks are equal."""
+    from kgray.extras.dedup import band_hashes
+
+    rng = np.random.default_rng(5)
+    sigs = rng.integers(0, 2**63, size=(3, 64), dtype=np.uint64)
+    sigs[1] = sigs[0]  # doc 1 identical to doc 0
+    sigs[2, :4] = sigs[0, :4]  # doc 2 shares band 0 only (16 bands x 4 rows)
+    h = band_hashes(sigs, 16, 4)
+    assert (h[0] == h[1]).all()
+    assert h[2][0] == h[0][0]
+    assert (h[2][1:] != h[0][1:]).all()
+    # deterministic across calls
+    assert (band_hashes(sigs, 16, 4) == h).all()
+
+
+def test_r1_golden_equivalence(ray_session):
+    """The distributed verify rewrite (round 2) must reproduce the
+    round-1 driver outputs exactly (VERDICT.md next-round item 1)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from kgray import queries
+
+    def canon(t):
+        df = t.to_pandas() if not isinstance(t, pd.DataFrame) else t
+        return df.sort_values(list(df.columns), ignore_index=True)[sorted(df.columns)]
+
+    sf = "/root/testdata/sf0.01"
+    for name in [
+        "dedup_minhash_docs",
+        "dedup_simhash_docs",
+        "ngram_jaccard_topk",
+        "embedding_dup_pairs",
+        "knn_lsh",
+    ]:
+        res = queries.QUERIES[name](sf)
+        if not isinstance(res, pa.Table):
+            res = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
+        gold = pq.read_table(f"tests/golden/r1_{name}.parquet")
+        assert canon(res).equals(canon(gold)), name
+
+
 def test_multimodal_plumbing(ray_session):
     from kgray.extras import multimodal
 
