@@ -21,7 +21,12 @@ _PROFILES = {
 }
 
 _WORD = re.compile(r"[A-Za-z]+")
-_PUNCT = re.compile(r"[^\w\s]")
+# Explicit ASCII classes so the semantics are identical to a DuckDB
+# RE2 oracle: Python's \w/\s are Unicode-aware, RE2's are ASCII —
+# an accented letter must count the same on both sides. RE2's \s is
+# [\t\n\f\r ], mirrored exactly here (ADVICE 2026-08-17).
+_PUNCT = re.compile(r"[^0-9A-Za-z_ \t\n\r\f]")
+_TOKEN = re.compile(r"[^ \t\n\r\f]+")
 
 
 def _detect(text: str) -> str:
@@ -58,7 +63,7 @@ def quality(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Data
         n_chars, n_words, n_punct, n_stop = [], [], [], []
         for t in batch[text_col].to_pylist():
             t = t or ""
-            words = t.split()
+            words = _TOKEN.findall(t)
             n_chars.append(len(t))
             n_words.append(len(words))
             n_punct.append(len(_PUNCT.findall(t)))
@@ -67,8 +72,16 @@ def quality(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Data
         nw = np.asarray(n_words, dtype=np.int64)
         np_ = np.asarray(n_punct, dtype=np.int64)
         ns = np.asarray(n_stop, dtype=np.int64)
-        punct_ratio = np.where(nc > 0, np_ / np.maximum(nc, 1), 0.0)
-        stop_ratio = np.where(nw > 0, ns / np.maximum(nw, 1), 0.0)
+        # a zero denominator yields NULL (the SQL division-by-zero
+        # convention), not 0.0 — keeps empty docs oracle-identical
+        punct_ratio = pa.array(
+            [float(np_[i]) / nc[i] if nc[i] else None for i in range(len(nc))],
+            type=pa.float64(),
+        )
+        stop_ratio = pa.array(
+            [float(ns[i]) / nw[i] if nw[i] else None for i in range(len(nw))],
+            type=pa.float64(),
+        )
         return pa.table(
             {
                 id_col: batch[id_col],
@@ -76,67 +89,63 @@ def quality(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Data
                 "n_words": pa.array(nw, type=pa.int64()),
                 "n_punct": pa.array(np_, type=pa.int64()),
                 "n_stopwords": pa.array(ns, type=pa.int64()),
-                "punct_ratio": pa.array(punct_ratio, type=pa.float64()),
-                "stopword_ratio": pa.array(stop_ratio, type=pa.float64()),
+                "punct_ratio": punct_ratio,
+                "stopword_ratio": stop_ratio,
             }
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def fingerprint(
-    ds: Dataset,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    *,
-    window: int = 16,
-    base: int = 257,
-    mod: int = (1 << 61) - 1,
-) -> Dataset:
-    """Document fingerprint: minimum Rabin-Karp rolling hash over all
-    `window`-byte windows (winnowing-style representative), plus the
-    full-text hash. Deterministic, vectorizable, O(len)."""
+FP_WINDOW = 16
+FP_BASE = 257
+FP_MOD = (1 << 31) - 1
+# PMW[j] = base^(window-1-j) mod m — the polynomial coefficients of a
+# window. mod 2^31-1 keeps every product codepoint x coeff < 2^52 and
+# every 16-term window sum < 2^56, so the whole rolling-min is one
+# int64 numpy matmul per doc AND expressible as plain BIGINT
+# arithmetic in a DuckDB oracle (no HUGEINT, no overflow).
+_PMW = np.array([pow(FP_BASE, FP_WINDOW - 1 - j, FP_MOD) for j in range(FP_WINDOW)],
+                dtype=np.int64)
 
-    def roll_min(t: str) -> int:
-        data = t.encode("utf-8", "ignore")
-        if not data:
-            return 0
-        if len(data) <= window:
-            h = 0
-            for c in data:
-                h = (h * base + c) % mod
-            return h
-        arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
-        # vectorized rolling hash via cumulative powers
-        h = 0
-        for c in data[:window]:
-            h = (h * base + c) % mod
-        best = h
-        top = pow(base, window - 1, mod)
-        for i in range(window, len(data)):
-            h = ((h - arr[i - window] * top) * base + arr[i]) % mod
-            if h < best:
-                best = int(h)
-        return best
+
+def _roll_min(t: str) -> int:
+    """Minimum polynomial hash over all `FP_WINDOW`-codepoint windows
+    (winnowing-style representative); texts shorter than a window hash
+    whole. Defined over CODEPOINTS (utf-32 decode, vectorized) so a
+    SQL oracle's ord(substr(...)) sees identical values."""
+    n = len(t)
+    if n == 0:
+        return 0
+    cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    if n <= FP_WINDOW:
+        return int(cp.dot(_PMW[FP_WINDOW - n :]) % FP_MOD)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    w = sliding_window_view(cp, FP_WINDOW)  # (n-15, 16) view, no copy
+    return int((w @ _PMW % FP_MOD).min())
+
+
+def fingerprint(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> Dataset:
+    """Document fingerprint: (doc_id, fingerprint, text_md5) —
+    the rolling-min representative plus the full-text md5 hex.
+    Deterministic, vectorized, O(len), DuckDB-oracle-able."""
 
     def f(batch: pa.Table) -> pa.Table:
         import hashlib
 
-        fps, full = [], []
+        fps, md5s = [], []
         for t in batch[text_col].to_pylist():
             t = t or ""
-            fps.append(roll_min(t) - (1 << 62))
-            full.append(
-                int.from_bytes(
-                    hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
-                )
-                - (1 << 63)
-            )
+            fps.append(_roll_min(t))
+            md5s.append(hashlib.md5(t.encode("utf-8")).hexdigest())
         return pa.table(
             {
                 id_col: batch[id_col],
                 "fingerprint": pa.array(fps, type=pa.int64()),
-                "text_hash": pa.array(full, type=pa.int64()),
+                "text_md5": pa.array(md5s, type=pa.string()),
             }
         )
 

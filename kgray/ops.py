@@ -64,6 +64,63 @@ def anti_join_filter(ds: Dataset, key: str, values: set) -> Dataset:
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+# Above this many right-side rows the broadcast key-set form of
+# semi/anti/intersect/except switches to a distributed hash join
+# (left_semi / left_anti): a broadcast value set must fit every
+# worker's heap, a hash join only ever holds one partition per task.
+BROADCAST_MAX_KEYS = 2_000_000
+
+
+def semi_join(
+    left: Dataset,
+    key: str,
+    right: Dataset,
+    right_key: str,
+    *,
+    num_partitions: int = 16,
+    broadcast_max_keys: int = BROADCAST_MAX_KEYS,
+) -> Dataset:
+    """J3 semi join with an automatic large-side fallback: when the
+    right side is dimension-sized its distinct keys broadcast once
+    (`ray.put`) and the filter is a map-side `pc.is_in`; above the
+    threshold it becomes a distributed ``left_semi`` hash join (no
+    driver materialization). Both paths produce identical rows
+    (tested in tests/test_queries.py)."""
+    keys_ds = right.select_columns([right_key])
+    if keys_ds.count() <= broadcast_max_keys:
+        return semi_join_filter(left, key, set(keys_ds.unique(right_key)))
+    return left.join(
+        keys_ds,
+        join_type="left_semi",
+        num_partitions=num_partitions,
+        on=(key,),
+        right_on=(right_key,),
+    )
+
+
+def anti_join(
+    left: Dataset,
+    key: str,
+    right: Dataset,
+    right_key: str,
+    *,
+    num_partitions: int = 16,
+    broadcast_max_keys: int = BROADCAST_MAX_KEYS,
+) -> Dataset:
+    """J3 anti join; same size gate as `semi_join` (broadcast set
+    below the threshold, distributed ``left_anti`` hash join above)."""
+    keys_ds = right.select_columns([right_key])
+    if keys_ds.count() <= broadcast_max_keys:
+        return anti_join_filter(left, key, set(keys_ds.unique(right_key)))
+    return left.join(
+        keys_ds,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=(key,),
+        right_on=(right_key,),
+    )
+
+
 def hash_join(
     left: Dataset,
     right: Dataset,
@@ -250,11 +307,18 @@ def asof_join(
     rsuf = [f"{c}{right_suffix}" for c in rv]
     lrest = [c for c in lcols if c not in (key, ts)]
 
+    merged_cols = [key, ts] + lrest + [f"{ts}{right_suffix}"] + rsuf
+
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == 0].sort_values(ts, kind="mergesort")
         rg = g[g["_side"] == 1].sort_values(ts, kind="mergesort")
         if len(lg) == 0:
-            return lg.drop(columns=["_side"])
+            # emit the exact merged output schema (merge_asof's column
+            # set) so group-output schemas never drift between empty
+            # and non-empty key groups
+            dtypes = {c: g[c].dtype for c in [key, ts] + lrest + rsuf}
+            dtypes[f"{ts}{right_suffix}"] = g[ts].dtype
+            return pd.DataFrame(columns=merged_cols).astype(dtypes)
         l_part = lg[[key, ts] + lrest]
         r_part = rg[[ts] + rsuf].rename(columns={ts: f"{ts}{right_suffix}"})
         merged = pd.merge_asof(
@@ -301,17 +365,39 @@ def sessionize(
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
 
 
-def intersect_keys(left: Dataset, left_col: str, right: Dataset, right_col: str) -> Dataset:
+def intersect_keys(
+    left: Dataset,
+    left_col: str,
+    right: Dataset,
+    right_col: str,
+    *,
+    broadcast_max_keys: int = BROADCAST_MAX_KEYS,
+) -> Dataset:
     """U4 INTERSECT on single key columns: distinct left keys present
-    in the (broadcast) right key set."""
-    vals = set(right.unique(right_col))
-    return distinct(semi_join_filter(left.select_columns([left_col]), left_col, vals), [left_col])
+    in the right key set (broadcast below the size gate, distributed
+    semi hash join above)."""
+    sel = semi_join(
+        left.select_columns([left_col]), left_col, right, right_col,
+        broadcast_max_keys=broadcast_max_keys,
+    )
+    return distinct(sel, [left_col])
 
 
-def except_keys(left: Dataset, left_col: str, right: Dataset, right_col: str) -> Dataset:
-    """U4 EXCEPT on single key columns."""
-    vals = set(right.unique(right_col))
-    return distinct(anti_join_filter(left.select_columns([left_col]), left_col, vals), [left_col])
+def except_keys(
+    left: Dataset,
+    left_col: str,
+    right: Dataset,
+    right_col: str,
+    *,
+    broadcast_max_keys: int = BROADCAST_MAX_KEYS,
+) -> Dataset:
+    """U4 EXCEPT on single key columns; same size gate as
+    `intersect_keys`."""
+    sel = anti_join(
+        left.select_columns([left_col]), left_col, right, right_col,
+        broadcast_max_keys=broadcast_max_keys,
+    )
+    return distinct(sel, [left_col])
 
 
 def group_topk(

@@ -154,16 +154,13 @@ GROUP BY c_mktsegment
 """
 
 
-# J3: semi / anti joins via broadcast key sets
-
-def _order_custkeys(sf_dir: str) -> set:
-    keys = _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
-    return set(keys)
-
+# J3: semi / anti joins (auto: broadcast key set below the size gate,
+# distributed left_semi/left_anti hash join above — ops.semi_join)
 
 def q_custs_with_orders(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    sel = ops.semi_join_filter(cust, "c_custkey", _order_custkeys(sf_dir))
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    sel = ops.semi_join(cust, "c_custkey", orders, "o_custkey")
     return ops.grouped_sum_count(sel, keys=["c_mktsegment"], sums=[], count_alias="n")
 
 
@@ -178,16 +175,12 @@ def q_custs_without_orders(sf_dir: str):
     """Anti join: customers with no high-value (>350k) order."""
     import pyarrow.compute as _pc
 
-    big = (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(
-            lambda b: b.filter(_pc.greater(b["o_totalprice"], 350000.0)),
-            batch_format="pyarrow",
-        )
-        .unique("o_custkey")
+    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda b: b.filter(_pc.greater(b["o_totalprice"], 350000.0)),
+        batch_format="pyarrow",
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    sel = ops.anti_join_filter(cust, "c_custkey", set(big))
+    sel = ops.anti_join(cust, "c_custkey", big, "o_custkey")
     return ops.grouped_sum_count(sel, keys=["c_mktsegment"], sums=[], count_alias="n")
 
 
@@ -635,19 +628,61 @@ def q_doc_quality(sf_dir: str):
     return textstats.quality(ds)
 
 
+# explicit ASCII character classes mirror the engine's compiled
+# patterns exactly (Python \w/\s are Unicode-aware, RE2's are not);
+# a zero denominator divides to NULL on both sides
 SQL_DOC_QUALITY = """
 SELECT doc_id,
        CAST(LENGTH(text) AS BIGINT) AS n_chars,
-       CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\S+')) AS BIGINT) AS n_words,
-       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,
-       CAST(LEN(LIST_FILTER(REGEXP_EXTRACT_ALL(LOWER(text), '\\S+'),
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^ \\t\\n\\r\\f]+')) AS BIGINT) AS n_words,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^0-9A-Za-z_ \\t\\n\\r\\f]')) AS BIGINT) AS n_punct,
+       CAST(LEN(LIST_FILTER(REGEXP_EXTRACT_ALL(LOWER(text), '[^ \\t\\n\\r\\f]+'),
             x -> x IN ('the','and','of','to','a','in','is','that','for','with'))) AS BIGINT) AS n_stopwords,
-       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^\\w\\s]')) AS DOUBLE) / LENGTH(text) AS punct_ratio,
-       CAST(LEN(LIST_FILTER(REGEXP_EXTRACT_ALL(LOWER(text), '\\S+'),
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^0-9A-Za-z_ \\t\\n\\r\\f]')) AS DOUBLE) / LENGTH(text) AS punct_ratio,
+       CAST(LEN(LIST_FILTER(REGEXP_EXTRACT_ALL(LOWER(text), '[^ \\t\\n\\r\\f]+'),
             x -> x IN ('the','and','of','to','a','in','is','that','for','with'))) AS DOUBLE)
-         / LEN(REGEXP_EXTRACT_ALL(text, '\\S+')) AS stopword_ratio
+         / LEN(REGEXP_EXTRACT_ALL(text, '[^ \\t\\n\\r\\f]+')) AS stopword_ratio
 FROM documents
 """
+
+
+# language-ID oracle: replicates _detect's sequential argmax (first
+# profile reaching the max wins; dict order en, de, es, fr; strict >
+# to replace) over DISTINCT lowercase [a-z]+ tokens. The CJK charset
+# branch is unreachable on the ASCII testdata (verified) and is
+# intentionally not mirrored in SQL.
+def _langid_sql() -> str:
+    profiles = {
+        "en": ("the", "and", "of", "to", "a", "in", "is", "that", "for", "with"),
+        "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"),
+        "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
+        "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"),
+    }
+    counts = ",\n    ".join(
+        f"LEN(LIST_FILTER(toks, x -> x IN {p})) AS n_{lang}"
+        for lang, p in profiles.items()
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         LIST_DISTINCT(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS toks
+  FROM documents
+), cnt AS (
+  SELECT doc_id,
+    {counts}
+  FROM tok
+)
+SELECT doc_id,
+  CASE WHEN n_fr > n_en AND n_fr > n_de AND n_fr > n_es THEN 'fr'
+       WHEN n_es > n_en AND n_es > n_de THEN 'es'
+       WHEN n_de > n_en THEN 'de'
+       WHEN n_en > 0 THEN 'en'
+       ELSE 'und' END AS lang_pred
+FROM cnt
+"""
+
+
+SQL_LANGID_DOCS = _langid_sql()
 
 
 def q_doc_fingerprint(sf_dir: str):
@@ -655,6 +690,39 @@ def q_doc_fingerprint(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return textstats.fingerprint(ds)
+
+
+# rolling-min fingerprint oracle: the same polynomial window hash
+# (mod 2^31-1 over codepoints) written out as plain BIGINT arithmetic;
+# md5 for the full-text hash. Coefficients match textstats._PMW.
+def _fingerprint_sql() -> str:
+    from .extras.textstats import FP_MOD, FP_WINDOW, _PMW
+
+    win_terms = " + ".join(
+        f"CAST(ORD(SUBSTR(text, i+{j}, 1)) AS BIGINT) * {int(_PMW[j])}"
+        for j in range(FP_WINDOW)
+    )
+    # short texts (n <= window) hash whole: coefficient for 1-based
+    # position j is base^(n-j) mod m = pmrev[n-j+1] (1-based list)
+    pmrev = [int(p) for p in _PMW[::-1]]
+    return f"""
+SELECT doc_id,
+  CAST(
+    CASE
+      WHEN LENGTH(text) = 0 THEN 0
+      WHEN LENGTH(text) <= {FP_WINDOW} THEN
+        LIST_SUM([CAST(ORD(SUBSTR(text, j, 1)) AS BIGINT) * ({pmrev}[LENGTH(text) - j + 1])
+                  for j in RANGE(1, LENGTH(text) + 1)]) % {FP_MOD}
+      ELSE
+        LIST_MIN([({win_terms}) % {FP_MOD}
+                  for i in RANGE(1, LENGTH(text) - {FP_WINDOW - 2})])
+    END AS BIGINT) AS fingerprint,
+  MD5(text) AS text_md5
+FROM documents
+"""
+
+
+SQL_DOC_FINGERPRINT = _fingerprint_sql()
 
 
 def q_multimodal_features(sf_dir: str):
@@ -731,6 +799,8 @@ ORACLE_SQL.update(
         "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
         "knn_search": SQL_KNN_SEARCH,
         "doc_quality": SQL_DOC_QUALITY,
+        "langid_docs": SQL_LANGID_DOCS,
+        "doc_fingerprint": SQL_DOC_FINGERPRINT,
     }
 )
 

@@ -240,6 +240,42 @@ def test_r1_golden_equivalence(ray_session):
         assert canon(res).equals(canon(gold)), name
 
 
+def test_textstats_oracle_adversarial(ray_session):
+    """doc_quality / langid / fingerprint must bit-match their DuckDB
+    oracles on empty, short, and non-ASCII texts (ADVICE 2026-08-17:
+    Python \\w vs RE2 \\w, division-by-zero NULL convention)."""
+    import duckdb
+
+    from kgray import queries
+    from kgray.extras import textstats
+
+    adv = pa.table(
+        {
+            "doc_id": pa.array(range(6), type=pa.int64()),
+            "text": [
+                "",
+                "ab",
+                "exactly sixteen!",
+                "Héllo wörld naïve café — ok!",
+                "the and of to a in is that for with xyz.",
+                "der hund und die katze sind nicht zu sehen",
+            ],
+        }
+    )
+    ds = ray.data.from_arrow(adv)
+    con = duckdb.connect()
+    con.register("documents_adv", adv)
+    for name, eng_ds in [
+        ("doc_quality", textstats.quality(ds)),
+        ("langid_docs", textstats.langid(ds)),
+        ("doc_fingerprint", textstats.fingerprint(ds)),
+    ]:
+        eng = eng_ds.to_pandas().sort_values("doc_id", ignore_index=True)
+        sql = queries.ORACLE_SQL[name].replace("FROM documents", "FROM documents_adv")
+        ora = con.execute(sql).fetchdf().sort_values("doc_id", ignore_index=True)
+        assert eng.astype(str).equals(ora[list(eng.columns)].astype(str)), name
+
+
 def test_multimodal_plumbing(ray_session):
     from kgray.extras import multimodal
 
