@@ -8,3 +8,21 @@ Ray Data / pyarrow APIs.
 """
 
 __version__ = "0.1.0"
+
+import logging as _logging
+
+
+class _SchemaHashNoiseFilter(_logging.Filter):
+    """Drop Ray's benign 'Failed to hash the schemas (for
+    deduplication): unhashable type: dict' warning: the driver's
+    testdata parquet carries pandas schema metadata that Ray's
+    schema-dedup fast path cannot hash; unification still succeeds on
+    the slow path, so the message is pure noise on every shuffle."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # pragma: no cover
+        return "Failed to hash the schemas" not in record.getMessage()
+
+
+_logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").addFilter(
+    _SchemaHashNoiseFilter()
+)

@@ -87,6 +87,9 @@ def run_partition(
     rows_in, sha_xor = _partition_stats(files)
     t_sha = time.monotonic()
 
+    # size-gate the phased shuffle per partition (same rule as
+    # pipeline.flagship: pin the narrow triples only when they fit)
+    part_rows = sum(pq.read_metadata(f).num_rows for f in files)
     with pipeline.hash_shuffle_ctx():
         # the whole plan (read included) must be built under the
         # hash-shuffle context — see pipeline.flagship
@@ -97,6 +100,7 @@ def run_partition(
             batch_size=link_batch_size,
             concurrency=link_concurrency,
             with_sha=False,  # invariant accounted by the sha_xor stats pass
+            phased=pipeline.choose_phased(part_rows),
         ).sort(["subj", "pred", "obj"])
 
     final_dir = os.path.join(out_dir, "data", f"part={part_id}")
@@ -151,6 +155,25 @@ def run_checkpointed(
     for pid, files in enumerate(parts):
         marker = os.path.join(done_dir, f"part-{pid}")
         if resume and os.path.exists(marker):
+            # a done-marker is only valid for the SAME plan: compare
+            # the current slice's file list against the lineage record
+            # the marker was written for. Resuming with a different
+            # --partitions value or a changed input dir must fail
+            # loudly, not silently produce a wrong union.
+            lp = os.path.join(lin_dir, f"part-{pid}.json")
+            planned = [os.path.basename(f) for f in files]
+            recorded = None
+            if os.path.exists(lp):
+                with open(lp) as f:
+                    recorded = json.load(f).get("files")
+            if recorded != planned:
+                raise ValueError(
+                    f"resume plan mismatch for partition {pid}: checkpoint was "
+                    f"written for files={recorded} but the current plan slices "
+                    f"files={planned} (different --partitions value or input "
+                    f"dir?). Use a fresh --out directory, or delete "
+                    f"{done_dir} to recompute everything."
+                )
             skipped.append(pid)
             continue
         lineage = run_partition(

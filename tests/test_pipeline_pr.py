@@ -54,6 +54,32 @@ def test_triples_distinct_and_bucketed(engine_triples):
     ).all()
 
 
+def test_streaming_mode_equals_phased(ray_session, engine_triples, vocab_file):
+    """phased=False (fully streamed shuffle, the >object-store regime)
+    must produce the same distinct triple set as the phased default
+    (VERDICT next-round item 3: both modes stay tested)."""
+    from kgray import fixtures
+
+    path = fixtures.corpus_path("tiny")
+    ds = pipeline.flagship(path, vocab_file, phased=False)
+    tbl = ds.to_pandas()
+    streamed = set(zip(tbl["subj"], tbl["pred"], tbl["obj"]))
+    phased_set, _ = engine_triples
+    assert streamed == phased_set
+
+
+def test_choose_phased_gate(ray_session):
+    """The auto gate pins only what fits the object store."""
+    import ray as _ray
+
+    store = _ray.cluster_resources().get("object_store_memory", 0)
+    assert store > 0
+    fits = int(0.1 * store / pipeline.TRIPLE_BYTES_PER_INPUT_ROW)
+    too_big = int(store / pipeline.TRIPLE_BYTES_PER_INPUT_ROW)
+    assert pipeline.choose_phased(fits) is True
+    assert pipeline.choose_phased(too_big) is False
+
+
 def test_sha_invariant(ray_session, tiny_corpus, oracle_result):
     """Engine content_sha256 equals the oracle's for 100% of rows."""
     corpus = ray.data.from_arrow(tiny_corpus)

@@ -62,6 +62,23 @@ def test_kill_and_resume(ray_session, corpus_dir, vocab_file, tmp_path):
     assert all("sha_stats" in r["stage_ms"] and "pipeline_write" in r["stage_ms"] for r in recs)
 
 
+def test_resume_rejects_changed_plan(ray_session, corpus_dir, vocab_file, tmp_path):
+    """Resuming with a different --partitions value must fail loudly,
+    not silently skip partitions of a different plan (ADVICE
+    2026-08-17: plan-vs-marker validation)."""
+    from kgray import checkpoint
+
+    out = str(tmp_path / "plan")
+    checkpoint.run_checkpointed(
+        corpus_dir, vocab_file, out, num_partitions=4, max_partitions=1
+    )
+    with pytest.raises(ValueError, match="resume plan mismatch"):
+        checkpoint.run_checkpointed(corpus_dir, vocab_file, out, num_partitions=2)
+    # same plan still resumes fine
+    s = checkpoint.run_checkpointed(corpus_dir, vocab_file, out, num_partitions=4)
+    assert s["skipped"] == [0]
+
+
 def test_partition_union_matches_oracle_set(ray_session, corpus_dir, vocab_file, tmp_path, oracle_result):
     """Union of per-partition distinct triples == global distinct set."""
     from kgray import checkpoint
