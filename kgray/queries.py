@@ -970,3 +970,22 @@ def q_kg_canonical_salted(sf_dir: str):
 
 
 QUERIES["kg_canonical_salted"] = q_kg_canonical_salted
+
+
+def q_kg_canonical_fuzzy(sf_dir: str):
+    """U3 near-dedup in full: normalized-key blocking + in-group fuzzy
+    merge (variant spellings fold into the dominant one; engine ==
+    independent sequential reference, tested)."""
+    from . import fixtures, pipeline
+    from .canonicalize import canonical_table_fuzzy
+
+    corpus = pipeline.read_corpus(
+        fixtures.corpus_path(_kg_scale(sf_dir)), override_num_blocks=_kg_blocks()
+    )
+    linked = pipeline.build_linked(
+        pipeline.build_mentions(corpus, with_sha=False), fixtures.vocab_path()
+    )
+    return canonical_table_fuzzy(linked)
+
+
+QUERIES["kg_canonical_fuzzy"] = q_kg_canonical_fuzzy

@@ -273,6 +273,118 @@ def _link_mention(kind: str, norm: str, catalog: dict, memo: dict) -> dict:
     return result
 
 
+# -- fuzzy canonicalization (U3), sequential reference ------------------------
+
+FUZZY_THETA = 0.90
+
+
+def run_canonical_fuzzy(corpus_table: pa.Table, vocab_table: pa.Table,
+                        theta: float = FUZZY_THETA) -> pa.Table:
+    """Sequential reference of the in-group fuzzy canonical merge:
+    per-(kind, norm) canonical rows, agents blocked by last token and
+    greedily merged (visit order -n_mentions then norm; join the first
+    compatible representative: same authority uri when both linked,
+    else pair score >= theta; an unlinked representative adopts the
+    first linked variant's links). Independent re-implementation — no
+    kgray code."""
+    catalog = _build_catalog(vocab_table)
+    memo: dict = {}
+    counts: dict[tuple, int] = {}
+
+    for rec in corpus_table.to_pylist():
+        if rec["lang"] not in ("musicxml", "mei"):
+            continue
+        try:
+            root = ET.fromstring(rec["content"])
+        except Exception:
+            continue
+        fields = _extract_fields(root, rec["lang"])
+        keys = []
+        for c in fields["composers"]:
+            keys.append(("agent", _norm_person(c)))
+        if fields["title"]:
+            keys.append(("work", _fold_plain(fields["title"])))
+        if fields["date"]:
+            iso = fields["date"].strip()
+            if iso:
+                keys.append(("date", iso))
+        for ins in fields["instruments"]:
+            keys.append(("instrument", _fold_plain(ins)))
+        for k in keys:
+            counts[k] = counts.get(k, 0) + 1
+
+    link_cols = ("dbpedia", "viaf", "europeana")
+    rows = []
+    for (kind, norm), n in counts.items():
+        if kind == "date":
+            canonical = "date:" + norm.replace(" ", "_")
+            links = {}
+        else:
+            lk = _link_mention(kind, norm, catalog, memo)
+            canonical = lk["canonical"]
+            links = lk["links"]
+        row = {"mention_type": kind, "norm": norm, "n_mentions": n,
+               "canonical_uri": canonical}
+        for v in link_cols:
+            row[f"{v}_id"] = links[v][0] if v in links else None
+        rows.append(row)
+
+    out = []
+    groups: dict[tuple, list] = {}
+    for r in rows:
+        if r["mention_type"] != "agent":
+            r2 = dict(r)
+            r2["block"] = r["norm"]
+            r2["n_variants"] = 1
+            out.append(r2)
+            continue
+        b = r["norm"].split(" ")[-1] if r["norm"] else ""
+        groups.setdefault(b, []).append(r)
+
+    for b, members in groups.items():
+        members.sort(key=lambda r: (-r["n_mentions"], r["norm"]))
+        reps: list[dict] = []
+        for m in members:
+            is_linked = not m["canonical_uri"].startswith("agent:")
+            chosen = None
+            for rep in reps:
+                if is_linked and rep["_linked"]:
+                    if m["canonical_uri"] == rep["canonical_uri"]:
+                        chosen = rep
+                        break
+                elif _pair_score(m["norm"], rep["norm"]) >= theta:
+                    chosen = rep
+                    break
+            if chosen is None:
+                m2 = dict(m)
+                m2["_linked"] = is_linked
+                m2["block"] = b
+                m2["n_variants"] = 1
+                reps.append(m2)
+            else:
+                chosen["n_mentions"] += m["n_mentions"]
+                chosen["n_variants"] += 1
+                if is_linked and not chosen["_linked"]:
+                    chosen["_linked"] = True
+                    chosen["canonical_uri"] = m["canonical_uri"]
+                    for v in link_cols:
+                        chosen[f"{v}_id"] = m[f"{v}_id"]
+        for rep in reps:
+            rep.pop("_linked")
+            out.append(rep)
+
+    out.sort(key=lambda r: (r["mention_type"], r["block"], r["norm"]))
+    cols = ["mention_type", "block", "norm", "n_mentions", "n_variants",
+            "canonical_uri", "dbpedia_id", "viaf_id", "europeana_id"]
+    return pa.table(
+        {c: [r[c] for r in out] for c in cols},
+        schema=pa.schema(
+            [(c, pa.int64() if c in ("n_mentions", "n_variants") else pa.string())
+             for c in cols]
+        ),
+    )
+
+
 # -- full run -----------------------------------------------------------------
 
 def run_oracle(corpus_table: pa.Table, vocab_table: pa.Table) -> dict:

@@ -139,6 +139,36 @@ def test_actor_mode_linking_equals_task_mode(ray_session, tiny_corpus, vocab_fil
     assert t.equals(a)
 
 
+def test_canonical_fuzzy_matches_reference(ray_session, tiny_corpus, vocab_file, vocab_table):
+    """U3 in-group fuzzy merge: engine == independent sequential
+    reference, and merging actually collapses variant spellings."""
+    from kgray.canonicalize import canonical_table_fuzzy
+    from reference_impl import run_canonical_fuzzy
+
+    corpus = ray.data.from_arrow(tiny_corpus)
+    linked = pipeline.build_linked(
+        pipeline.build_mentions(corpus, with_sha=False), vocab_file
+    )
+    key = ["mention_type", "block", "norm"]
+    eng = (
+        canonical_table_fuzzy(linked)
+        .to_pandas()
+        .sort_values(key, ignore_index=True)
+    )
+    ref = run_canonical_fuzzy(tiny_corpus, vocab_table).to_pandas()
+    assert list(eng.columns) == list(ref.columns)
+    assert eng.astype(str).equals(ref.astype(str)), (
+        eng.compare(ref).head() if eng.shape == ref.shape else (eng.shape, ref.shape)
+    )
+    agents = eng[eng["mention_type"] == "agent"]
+    assert (agents["n_variants"] > 1).any()  # the merge does merge
+    # fewer agent canonicals than exact-norm canonicalization
+    from kgray.canonicalize import canonical_table
+
+    exact = canonical_table(linked).to_pandas()
+    assert len(agents) < (exact["mention_type"] == "agent").sum()
+
+
 def test_canonical_table_agrees(ray_session, tiny_corpus, vocab_file, oracle_result):
     """Engine canonicalization aggregate == oracle canonical map (spec §7)."""
     from kgray.canonicalize import canonical_table
