@@ -303,20 +303,24 @@ def pairs_from_buckets(
     import pandas as pd
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g[id_col].tolist()))
+        ids = np.unique(g[id_col].to_numpy())
         if len(ids) < 2 or len(ids) > max_bucket:
             return pd.DataFrame({"a": [], "b": []}, dtype="int64")
-        a_c, b_c = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_c.append(ids[i])
-                b_c.append(ids[j])
-        return pd.DataFrame({"a": a_c, "b": b_c}, dtype="int64")
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
 
     pairs = bucketed.groupby(["band_id", "band_hash"]).map_groups(
         per_group, batch_format="pandas"
     )
     return ops.distinct(pairs, ["a", "b"])
+
+
+# Below this many payload rows the pair-verify attaches payloads from
+# a broadcast map (ray.put once, read per task) instead of two hash
+# joins — the dimension-sized fast path; the join path is the scale
+# path (nothing corpus-sized ever reaches the driver when the corpus
+# is actually large).
+PAYLOAD_BROADCAST_MAX_ROWS = 200_000
 
 
 def join_pair_payload(
@@ -326,17 +330,48 @@ def join_pair_payload(
     payload_col: str,
     *,
     num_partitions: int = PAIR_JOIN_PARTITIONS,
+    broadcast_max_rows: int | None = None,
 ) -> Dataset:
-    """Attach `payload_col` for both pair members: two hash-partitioned
-    equi-joins (candidate pairs x payload on `a`, then `b`) producing
-    (a, b, <payload>_a, <payload>_b). The payload table shuffles by
-    key; the driver never sees it."""
+    """Attach `payload_col` for both pair members, producing
+    (a, b, <payload>_a, <payload>_b).
+
+    Size-gated like ops.semi_join: a dimension-sized payload table is
+    broadcast once (`ray.put` of an id->payload dict) and attached
+    map-side; above the gate it becomes two hash-partitioned
+    equi-joins (pairs x payload on `a`, then `b`) — the payload
+    shuffles by key and the driver never sees it."""
+    if broadcast_max_rows is None:
+        broadcast_max_rows = PAYLOAD_BROADCAST_MAX_ROWS
+    proj = payload.select_columns([id_col, payload_col])
+    if proj.count() <= broadcast_max_rows:
+        import ray as _ray
+
+        lookup: dict = {}
+        for t in _ray.get(proj.to_arrow_refs()):
+            lookup.update(zip(t[id_col].to_pylist(), t[payload_col].to_pylist()))
+        ref = _ray.put(lookup)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            lk = _ray.get(ref)
+            a_ids = batch["a"].to_pylist()
+            b_ids = batch["b"].to_pylist()
+            return pa.table(
+                {
+                    "a": batch["a"],
+                    "b": batch["b"],
+                    f"{payload_col}_a": pa.array([lk.get(i) for i in a_ids]),
+                    f"{payload_col}_b": pa.array([lk.get(i) for i in b_ids]),
+                }
+            )
+
+        return pairs.map_batches(attach, batch_format="pyarrow")
+
     # rename the payload column BEFORE each join (renaming after a
     # join can leave mixed block schemas in ray 2.49 — observed
     # "different schema than the previous one" warnings + flaky
     # FieldRef errors)
     def side(suffix: str):
-        return payload.select_columns([id_col, payload_col]).map_batches(
+        return proj.map_batches(
             lambda b, s=suffix: b.rename_columns([id_col, f"{payload_col}{s}"]),
             batch_format="pyarrow",
         )

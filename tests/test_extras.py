@@ -213,6 +213,18 @@ def test_band_hashes_bucket_semantics():
     assert (band_hashes(sigs, 16, 4) == h).all()
 
 
+def test_pair_payload_broadcast_vs_join_parity(ray_session, dup_corpus, monkeypatch):
+    """The broadcast fast path and the hash-join scale path of the
+    pair-verify payload attach must produce identical final pairs."""
+    from kgray.extras import dedup
+
+    ds, _ = dup_corpus
+    bcast = dedup.minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
+    monkeypatch.setattr(dedup, "PAYLOAD_BROADCAST_MAX_ROWS", 0)
+    joined = dedup.minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
+    assert bcast.equals(joined)
+
+
 def test_r1_golden_equivalence(ray_session):
     """The distributed verify rewrite (round 2) must reproduce the
     round-1 driver outputs exactly (VERDICT.md next-round item 1)."""
