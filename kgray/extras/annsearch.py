@@ -201,6 +201,74 @@ def knn_lsh(
     return knn_brute(sub, queries, vec_col=vec_col, id_col=id_col, k=k)
 
 
+def kmeans_centroids(
+    sample: np.ndarray, ncells: int, *, iters: int = 10, seed: int = 5
+) -> np.ndarray:
+    """Deterministic spherical k-means on a (normalized) sample —
+    the IVF coarse quantizer. Pure numpy; seeded init."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(ncells, len(sample)), replace=False)
+    c = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = (sample @ c.T).argmax(axis=1)
+        sums = np.zeros_like(c)
+        np.add.at(sums, assign, sample)
+        counts = np.bincount(assign, minlength=len(c)).astype(np.float64)
+        nonempty = counts > 0
+        c[nonempty] = sums[nonempty] / counts[nonempty, None]
+        c = _normalize(c)
+    return c
+
+
+def knn_ivf(
+    ds: Dataset,
+    queries: pa.Table,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    ncells: int = 16,
+    nprobe: int = 4,
+    sample_n: int = 2048,
+) -> pa.Table:
+    """Approximate top-k via an IVF (inverted-file) index: a seeded
+    spherical k-means coarse quantizer over a deterministic sample,
+    cells probed per query, exact rescore of the probed cells only.
+
+    Scale path: centroids are broadcast (`ray.put` once); every batch
+    does one GEMM against them and forwards only rows whose cell is
+    probed — the exact rescore sees ~nprobe/ncells of the corpus. At
+    production scale the cell assignment would be precomputed and the
+    table partitioned by cell; recall measured vs brute force in
+    tests."""
+    proj = ds.limit(sample_n).select_columns([vec_col])
+    vec_type = proj.schema().base_schema.field(vec_col).type
+    sample_tbl = ops.collect_table(proj, schema=pa.schema([(vec_col, vec_type)]))
+    sample = _normalize(_to_matrix(sample_tbl[vec_col]))
+    cents = kmeans_centroids(sample, ncells)
+    qm = _normalize(_to_matrix(queries[vec_col]))
+    probe = set()
+    for j in range(qm.shape[0]):
+        sims = qm[j] @ cents.T
+        for cell in np.argsort(-sims)[:nprobe]:
+            probe.add(int(cell))
+    cref = ray.put(cents)
+    pref = ray.put(probe)
+
+    def cell_filter(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        pr = ray.get(pref)
+        m = _normalize(_to_matrix(batch[vec_col]))
+        assign = (m @ c.T).argmax(axis=1)
+        keep = np.isin(assign, list(pr))
+        if not keep.any():
+            return batch.slice(0, 0)
+        return batch.filter(pa.array(keep))
+
+    sub = ds.map_batches(cell_filter, batch_size=None, batch_format="pyarrow")
+    return knn_brute(sub, queries, vec_col=vec_col, id_col=id_col, k=k)
+
+
 def cosine_dup_pairs(
     ds: Dataset,
     *,

@@ -365,6 +365,53 @@ def sessionize(
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
 
 
+def group_median(ds: Dataset, key: str, col: str, out_col: str) -> Dataset:
+    """Exact per-group median (numpy, one shuffle on the key).
+    Assumes a single group's values fit one worker (true for
+    low-cardinality group keys); for high-cardinality million-row
+    groups swap in a two-pass counting quantile or a mergeable sketch
+    (t-digest) — the interpolation convention here ((lo+hi)/2 on even
+    counts) matches SQL MEDIAN bit-for-bit on identical operands."""
+    import pandas as pd
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {key: [g[key].iloc[0]], out_col: [float(np.median(g[col].to_numpy()))]}
+        )
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def sliding_window_count(
+    ds: Dataset,
+    key: str,
+    ts: str,
+    *,
+    window_seconds: float,
+    carry: list[str] | None = None,
+    out_col: str = "n_window",
+) -> Dataset:
+    """Per-row sliding-window count: for every row, how many same-key
+    rows have `ts` in [row.ts - window, row.ts] — the value-based
+    (RANGE) frame semantics of SQL window functions, peers included.
+    One shuffle on the key; inside each group the counts come from two
+    vectorized np.searchsorted passes over the sorted timestamps."""
+    import pandas as pd
+
+    carry = carry or []
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        sorted_ts = np.sort(g[ts].to_numpy())
+        vals = g[ts].to_numpy()
+        lo = np.searchsorted(sorted_ts, vals - np.timedelta64(int(window_seconds * 1e6), "us"), side="left")
+        hi = np.searchsorted(sorted_ts, vals, side="right")
+        out = g[[key, ts] + carry].copy()
+        out[out_col] = (hi - lo).astype("int64")
+        return out
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
 def intersect_keys(
     left: Dataset,
     left_col: str,

@@ -607,6 +607,13 @@ def q_knn_lsh(sf_dir: str):
     return annsearch.knn_lsh(ds, _query_vectors(sf_dir), k=10)
 
 
+def q_knn_ivf(sf_dir: str):
+    from .extras import annsearch
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return annsearch.knn_ivf(ds, _query_vectors(sf_dir), k=10)
+
+
 def q_embedding_dup_pairs(sf_dir: str):
     from .extras import annsearch
 
@@ -786,6 +793,7 @@ QUERIES.update(
         "ngram_jaccard_topk": q_ngram_jaccard_topk,
         "knn_search": q_knn_search,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "langid_docs": q_langid_docs,
         "doc_quality": q_doc_quality,
@@ -912,6 +920,48 @@ SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM 
 """
 
 
+def q_events_sliding_1h(sf_dir: str):
+    """Sliding-window aggregate (value-based RANGE frame): per event,
+    the same user's event count in the trailing hour."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    return ops.sliding_window_count(
+        ev, key="user_id", ts="ts", window_seconds=3600, carry=["event_id"]
+    )
+
+
+SQL_EVENTS_SLIDING_1H = """
+SELECT user_id, ts, event_id,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         AS n_window
+FROM events
+"""
+
+
+def q_priority_price_median(sf_dir: str):
+    """Exact per-group median over integer cents (ops.group_median)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderpriority": b["o_orderpriority"], "cents": ops.cents(b["o_totalprice"])}
+        )
+
+    return ops.group_median(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "o_orderpriority",
+        "cents",
+        "median_cents",
+    )
+
+
+SQL_PRIORITY_PRICE_MEDIAN = """
+SELECT o_orderpriority,
+       MEDIAN(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS median_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q_sample_orders(sf_dir: str):
     """O3: seeded random sample (rows-only — RNG differs from SQL)."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
@@ -935,6 +985,8 @@ QUERIES.update(
     {
         "events_asof": q_events_asof,
         "events_sessionize": q_events_sessionize,
+        "events_sliding_1h": q_events_sliding_1h,
+        "priority_price_median": q_priority_price_median,
         "users_with_custkey": q_users_with_custkey,
         "custkeys_without_events": q_custkeys_without_events,
         "priority_top3_orders": q_priority_top3_orders,
@@ -947,6 +999,8 @@ ORACLE_SQL.update(
     {
         "events_asof": SQL_EVENTS_ASOF,
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
+        "events_sliding_1h": SQL_EVENTS_SLIDING_1H,
+        "priority_price_median": SQL_PRIORITY_PRICE_MEDIAN,
         "users_with_custkey": SQL_USERS_WITH_CUSTKEY,
         "custkeys_without_events": SQL_CUSTKEYS_WITHOUT_EVENTS,
         "priority_top3_orders": SQL_PRIORITY_TOP3,

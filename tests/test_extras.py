@@ -125,6 +125,31 @@ def test_knn_lsh_recall(ray_session):
     assert sum(recalls) / len(recalls) >= 0.6, recalls
 
 
+def test_knn_ivf_recall(ray_session):
+    import pyarrow.parquet as pq
+
+    from kgray.extras.annsearch import knn_brute, knn_ivf
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ds = ray.data.from_arrow(t)
+    queries = t.slice(0, 5)
+    exact = knn_brute(ds, queries, k=10)
+    approx = knn_ivf(ds, queries, k=10, ncells=8, nprobe=3)
+
+    def sets(tbl):
+        d = {}
+        for q, n in zip(tbl["query_id"].to_pylist(), tbl["neighbor_id"].to_pylist()):
+            d.setdefault(q, set()).add(n)
+        return d
+
+    e, a = sets(exact), sets(approx)
+    recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+    # determinism: same call -> same result
+    again = knn_ivf(ds, queries, k=10, ncells=8, nprobe=3)
+    assert approx.equals(again)
+
+
 def test_cosine_dup_pairs(ray_session):
     from kgray.extras.annsearch import cosine_dup_pairs
 

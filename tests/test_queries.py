@@ -71,8 +71,8 @@ def _oracle_names():
     "events_tumbling_hour", "doc_token_counts", "distinct_texts", "doc_regex_tokens",
     "dedup_exact_docs", "knn_search", "doc_quality",
     "langid_docs", "doc_fingerprint",
-    "events_asof", "events_sessionize", "users_with_custkey",
-    "custkeys_without_events", "priority_top3_orders",
+    "events_asof", "events_sessionize", "events_sliding_1h", "users_with_custkey",
+    "custkeys_without_events", "priority_top3_orders", "priority_price_median",
 ])
 def test_query_vs_duckdb(ray_session, con, name):
     import __ray_entry__ as e
