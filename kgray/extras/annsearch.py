@@ -133,31 +133,28 @@ def knn_lsh(
     qids = queries[id_col].to_pylist()
     dim = qm.shape[1]
     planes = [_hyperplanes(dim, nbits, t) for t in range(ntables)]
-    # query buckets (tiny: nq x ntables codes) — broadcast once
-    qbuckets = set()
+    msb = 1 << np.arange(nbits - 1, -1, -1)
+    # query buckets (tiny: nq x ntables codes), flattened to
+    # table*2^nbits + code keys so membership is one vectorized isin
+    qkeys = set()
     for t in range(ntables):
-        bits = (qm @ planes[t].T) > 0
-        for j in range(len(qids)):
-            code = int("".join("1" if x else "0" for x in bits[j]), 2)
-            qbuckets.add((t, code))
-    bref = ray.put(qbuckets)
+        codes = ((qm @ planes[t].T) > 0).dot(msb)
+        for c in codes:
+            qkeys.add(t * (1 << nbits) + int(c))
+    kref = ray.put(np.fromiter(qkeys, dtype=np.int64, count=len(qkeys)))
     pref = ray.put(planes)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         pl = ray.get(pref)
-        qb = ray.get(bref)
+        qk = ray.get(kref)
         m = _normalize(_to_matrix(batch[vec_col]))
-        ids = batch[id_col].to_pylist()
-        keep = set()
+        keep = np.zeros(m.shape[0], dtype=bool)
         for t in range(len(pl)):
-            bits = (m @ pl[t].T) > 0
-            codes = bits.dot(1 << np.arange(pl[t].shape[0] - 1, -1, -1))
-            for i in range(len(ids)):
-                if (t, int(codes[i])) in qb:
-                    keep.add(i)
-        if not keep:
+            codes = ((m @ pl[t].T) > 0).dot(msb)
+            keep |= np.isin(t * (1 << nbits) + codes, qk)
+        if not keep.any():
             return pa.table({id_col: pa.array([], pa.int64())})
-        return batch.select([id_col]).take(sorted(keep))
+        return batch.select([id_col]).filter(pa.array(keep))
 
     cand_ids = ops.distinct(
         ds.map_batches(bucketize, batch_size=None, batch_format="pyarrow"), [id_col]

@@ -222,6 +222,23 @@ def test_minhash_batch_parity():
         assert (ref[i] == batch_sigs[i]).all(), texts[i]
 
 
+def test_simhash_batch_parity():
+    """Batched SimHash == per-doc simhash64 (incl. the -2^63 int64
+    offset convention), on varied and edge-case texts."""
+    from kgray.extras import dedup
+
+    rng = np.random.default_rng(13)
+    words = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(words[j] for j in rng.integers(0, 40, size=int(n)))
+        for n in rng.integers(1, 60, size=30)
+    ]
+    texts += ["", "one", "one one one", "a b a b"]
+    got = dedup.simhash_batch(texts, {})
+    want = [dedup.simhash64(t) - (1 << 63) for t in texts]
+    assert got.tolist() == want
+
+
 def test_band_hashes_bucket_semantics():
     """Band hashes collide exactly when band chunks are equal."""
     from kgray.extras.dedup import band_hashes
