@@ -118,6 +118,39 @@ def run_bench() -> dict:
     }
 
 
+def _probe_work(_):
+    import hashlib
+    import time as _t
+
+    h = b"x" * 4096
+    t0 = _t.time()
+    for _ in range(20000):
+        h = hashlib.sha256(h).digest() * 128
+    return _t.time() - t0
+
+
+def host_probe(nprocs: int) -> dict:
+    """Effective-parallelism probe: fixed sha256 work at 1 vs nprocs
+    processes. The sandbox host is SHARED — other tenants can consume
+    half its cores (observed loadavg 5-9 while idle here), which
+    poisons any scaling ratio measured in that window. Every
+    --scaling output embeds this probe so the efficiency number is
+    interpretable: effective/nprocs near 1.0 = clean window."""
+    import multiprocessing as mp
+
+    t0 = time.time()
+    _probe_work(0)
+    single = time.time() - t0
+    with mp.Pool(nprocs) as p:
+        t0 = time.time()
+        p.map(_probe_work, range(nprocs))
+        wall = time.time() - t0
+    eff = nprocs * single / wall / nprocs
+    load1 = os.getloadavg()[0]
+    return {"host_load1": round(load1, 2),
+            f"host_parallel_eff_{nprocs}p": round(eff, 3)}
+
+
 SCALING_PAIR = (4, 16)  # N and 4N CPUs. Not (8, 32): this box delivers
 # only ~20 effective cores (measured: fixed CPU work speeds up 19.8x at
 # 32 procs, 2.77x from 8->32), so 8->32 measures host oversubscription,
@@ -131,7 +164,9 @@ def run_scaling(pair: tuple[int, int] = SCALING_PAIR) -> dict:
     `python bench.py --scaling --pair 8,32` runs the alternate pair —
     BOTH pairs are published in BASELINE.md alongside the measured
     oversubscription ceiling so the efficiency number is demonstrably
-    not pair-shopping."""
+    not pair-shopping. The result embeds a host-contention probe
+    (`host_probe`) taken right before the runs."""
+    probe = host_probe(pair[1])
     results = {}
     for ncpu in pair:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
@@ -162,6 +197,7 @@ def run_scaling(pair: tuple[int, int] = SCALING_PAIR) -> dict:
         "queries": {f"kg_triples_{lo}cpu": t_lo, f"kg_triples_{hi}cpu": t_hi},
         "sf": results[hi]["sf"],
         "num_cpus": hi,
+        **probe,
     }
 
 
