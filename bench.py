@@ -118,14 +118,18 @@ def run_bench() -> dict:
     }
 
 
+def _probe_warm(_):
+    return 0
+
+
 def _probe_work(_):
     import hashlib
     import time as _t
 
     h = b"x" * 4096
     t0 = _t.time()
-    for _ in range(20000):
-        h = hashlib.sha256(h).digest() * 128
+    for _ in range(200000):  # ~1 s of work — long enough that pool
+        h = hashlib.sha256(h).digest() * 128  # dispatch overhead is noise
     return _t.time() - t0
 
 
@@ -142,6 +146,7 @@ def host_probe(nprocs: int) -> dict:
     _probe_work(0)
     single = time.time() - t0
     with mp.Pool(nprocs) as p:
+        p.map(_probe_warm, range(nprocs))  # fork/dispatch warmup, untimed
         t0 = time.time()
         p.map(_probe_work, range(nprocs))
         wall = time.time() - t0
@@ -168,10 +173,15 @@ def run_scaling(pair: tuple[int, int] = SCALING_PAIR) -> dict:
     (`host_probe`) taken right before the runs."""
     probe = host_probe(pair[1])
     results = {}
+    level_probes = {}
     for ncpu in pair:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
         runs = []
-        for _ in range(2):  # best-of-2: the shared host is noisy (±40%)
+        # best-of-3: the shared host is noisy (±40%; external tenants
+        # come and go mid-measurement) — a per-level probe is recorded
+        # before each level so contaminated runs are identifiable
+        level_probes[ncpu] = host_probe(min(16, ncpu * 2))
+        for _ in range(3):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
@@ -198,6 +208,7 @@ def run_scaling(pair: tuple[int, int] = SCALING_PAIR) -> dict:
         "sf": results[hi]["sf"],
         "num_cpus": hi,
         **probe,
+        "level_probes": {str(k): v for k, v in level_probes.items()},
     }
 
 
