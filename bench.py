@@ -177,11 +177,20 @@ def run_scaling(pair: tuple[int, int] = SCALING_PAIR) -> dict:
     for ncpu in pair:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
         runs = []
-        # best-of-3: the shared host is noisy (±40%; external tenants
-        # come and go mid-measurement) — a per-level probe is recorded
-        # before each level so contaminated runs are identifiable
-        level_probes[ncpu] = host_probe(min(16, ncpu * 2))
-        for _ in range(3):
+        probes = []
+        # the shared host is noisy (±40%; external tenants come and go
+        # MID-measurement — observed turning a 23 s level into 61 s).
+        # Gate each individual run on a fresh probe: only runs started
+        # in a clean window count, up to 3 clean runs or 8 attempts;
+        # every used probe is recorded so the ratio is auditable.
+        attempts = 0
+        while len(runs) < 3 and attempts < 8:
+            attempts += 1
+            p = host_probe(min(16, max(4, ncpu)))
+            eff = [v for k, v in p.items() if k.startswith("host_parallel_eff")][0]
+            if eff < 0.75:
+                time.sleep(45)
+                continue
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
@@ -190,6 +199,15 @@ def run_scaling(pair: tuple[int, int] = SCALING_PAIR) -> dict:
                 check=True,
             ).stdout
             runs.append(json.loads(out.strip().splitlines()[-1]))
+            probes.append(p)
+        if not runs:  # never found a clean window — run once, flagged
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            runs.append(json.loads(out.strip().splitlines()[-1]))
+            probes.append({"dirty_window": True, **host_probe(min(16, max(4, ncpu)))})
+        level_probes[ncpu] = probes
         results[ncpu] = min(runs, key=lambda r: r["value"])
     lo, hi = pair
     t_lo, t_hi = results[lo]["value"], results[hi]["value"]
