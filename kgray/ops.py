@@ -365,6 +365,18 @@ def sessionize(
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
 
 
+def frequent_items(ds: Dataset, col: str, k: int, count_alias: str = "n") -> Dataset:
+    """Exact top-k most frequent values (heavy hitters) with a
+    deterministic tie-break (count desc, value asc): per-batch
+    combiner counts (one row per value per batch crosses the
+    exchange), a global merge, then sort+limit. Fully streaming —
+    no sketch needed for exactness because the combiner already
+    bounds the shuffle to the distinct-value count."""
+    counts = grouped_sum_count(ds.select_columns([col]), keys=[col], sums=[],
+                               count_alias=count_alias)
+    return topk(counts, [count_alias, col], k, descending=[True, False])
+
+
 def group_median(ds: Dataset, key: str, col: str, out_col: str) -> Dataset:
     """Exact per-group median (numpy, one shuffle on the key).
     Assumes a single group's values fit one worker (true for

@@ -962,6 +962,20 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_top_users_by_events(sf_dir: str):
+    """Exact heavy hitters: top-20 users by event count
+    (ops.frequent_items — combiner counts, global merge, sort+limit)."""
+    ev = _read(sf_dir, "events", ["user_id"])
+    return ops.frequent_items(ev, "user_id", 20)
+
+
+SQL_TOP_USERS_BY_EVENTS = """
+SELECT user_id, n FROM
+  (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+ORDER BY n DESC, user_id ASC LIMIT 20
+"""
+
+
 def q_sample_orders(sf_dir: str):
     """O3: seeded random sample (rows-only — RNG differs from SQL)."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
@@ -987,6 +1001,7 @@ QUERIES.update(
         "events_sessionize": q_events_sessionize,
         "events_sliding_1h": q_events_sliding_1h,
         "priority_price_median": q_priority_price_median,
+        "top_users_by_events": q_top_users_by_events,
         "users_with_custkey": q_users_with_custkey,
         "custkeys_without_events": q_custkeys_without_events,
         "priority_top3_orders": q_priority_top3_orders,
@@ -1001,6 +1016,7 @@ ORACLE_SQL.update(
         "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "events_sliding_1h": SQL_EVENTS_SLIDING_1H,
         "priority_price_median": SQL_PRIORITY_PRICE_MEDIAN,
+        "top_users_by_events": SQL_TOP_USERS_BY_EVENTS,
         "users_with_custkey": SQL_USERS_WITH_CUSTKEY,
         "custkeys_without_events": SQL_CUSTKEYS_WITHOUT_EVENTS,
         "priority_top3_orders": SQL_PRIORITY_TOP3,
