@@ -990,6 +990,51 @@ ORDER BY n DESC, user_id ASC LIMIT 20
 """
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping-window aggregate (size 1 h, hop 15 min): each event
+    belongs to 4 overlapping windows — vectorized explode (4 shifted
+    copies of the 15-min-floored ts) + the standard combiner groupby.
+    The overlap factor is constant, so the shuffle stays bounded."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(b["ts"], multiple=15, unit="minute")
+        parts = []
+        for i in range(4):
+            ws = pc.subtract(
+                base, pa.scalar(15 * 60 * 1_000_000 * i, type=pa.duration("us"))
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "window_start": ws,
+                        "event_type": b["event_type"],
+                        "value_cents": ops.cents(b["value"]),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return ops.grouped_sum_count(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        keys=["window_start", "event_type"],
+        sums=[("value_cents", "sum_value_cents")],
+        count_alias="n",
+    )
+
+
+SQL_EVENTS_HOPPING = """
+SELECT window_start, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes' AS window_start,
+         event_type, value
+  FROM events, range(4) t(i)
+)
+GROUP BY 1, 2
+"""
+
+
 def q_sample_orders(sf_dir: str):
     """O3: seeded random sample (rows-only — RNG differs from SQL)."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
@@ -1016,6 +1061,7 @@ QUERIES.update(
         "events_sliding_1h": q_events_sliding_1h,
         "priority_price_median": q_priority_price_median,
         "top_users_by_events": q_top_users_by_events,
+        "events_hopping": q_events_hopping,
         "users_with_custkey": q_users_with_custkey,
         "custkeys_without_events": q_custkeys_without_events,
         "priority_top3_orders": q_priority_top3_orders,
@@ -1031,6 +1077,7 @@ ORACLE_SQL.update(
         "events_sliding_1h": SQL_EVENTS_SLIDING_1H,
         "priority_price_median": SQL_PRIORITY_PRICE_MEDIAN,
         "top_users_by_events": SQL_TOP_USERS_BY_EVENTS,
+        "events_hopping": SQL_EVENTS_HOPPING,
         "users_with_custkey": SQL_USERS_WITH_CUSTKEY,
         "custkeys_without_events": SQL_CUSTKEYS_WITHOUT_EVENTS,
         "priority_top3_orders": SQL_PRIORITY_TOP3,

@@ -73,7 +73,7 @@ def _oracle_names():
     "langid_docs", "doc_fingerprint",
     "events_asof", "events_sessionize", "events_sliding_1h", "users_with_custkey",
     "custkeys_without_events", "priority_top3_orders", "priority_price_median",
-    "top_users_by_events",
+    "top_users_by_events", "events_hopping",
 ])
 def test_query_vs_duckdb(ray_session, con, name):
     import __ray_entry__ as e
