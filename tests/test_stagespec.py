@@ -1,0 +1,64 @@
+"""User-extension surface (SURVEY §2.10): Stage list == hand-chained
+map_batches; task and actor stages; UDF hook."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from kgray import stages as stages_mod
+from kgray.stagespec import Stage, apply_stages
+
+
+def test_stage_list_equals_hand_chain(ray_session, tiny_corpus):
+    corpus = ray.data.from_arrow(tiny_corpus.slice(0, 300))
+    via_stages = apply_stages(
+        corpus,
+        [Stage("sha", stages_mod.with_sha), Stage("extract", stages_mod.extract_mentions)],
+    ).to_pandas()
+    corpus2 = ray.data.from_arrow(tiny_corpus.slice(0, 300))
+    from kgray import pipeline
+
+    direct = pipeline.build_mentions(corpus2, with_sha=True).to_pandas()
+    key = ["doc_key", "mention_type", "surface"]
+    assert via_stages.sort_values(key, ignore_index=True).equals(
+        direct.sort_values(key, ignore_index=True)
+    )
+
+
+def test_actor_stage_and_udf(ray_session, tiny_corpus, vocab_file):
+    """A stateful class stage (Linker) + a user batch UDF, declared as
+    a list — the zero-engine-changes extension path."""
+    from kgray.linker import Linker
+
+    def drop_unlinked(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.not_equal(batch["method"], "none"))
+
+    corpus = ray.data.from_arrow(tiny_corpus.slice(0, 200))
+    out = apply_stages(
+        corpus,
+        [
+            Stage("extract", stages_mod.extract_mentions),
+            Stage(
+                "link",
+                Linker,
+                fn_constructor_kwargs={"vocab_path": vocab_file},
+                options={"batch_size": 1024, "concurrency": 2, "num_cpus": 1},
+            ),
+            Stage("keep_linked", drop_unlinked),
+        ],
+    ).to_pandas()
+    assert len(out) > 0
+    assert set(out["method"]) <= {"exact", "fuzzy"}
+
+
+def test_constructor_kwargs_require_class():
+    with pytest.raises(ValueError, match="requires a callable CLASS"):
+        apply_stages(
+            ray.data.from_items([{"x": 1}]),
+            [Stage("bad", lambda b: b, fn_constructor_kwargs={"a": 1})],
+        )
