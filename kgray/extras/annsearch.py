@@ -320,7 +320,9 @@ def cosine_dup_pairs(
         )
 
     packed = ds.map_batches(pack, batch_format="pyarrow")
-    withvec = join_pair_payload(cand, packed, id_col, "_embbin")
+    withvec = join_pair_payload(
+        cand, packed, id_col, "_embbin", payload_rows=ds.count()
+    )
 
     def _unpack(col) -> np.ndarray:
         blobs = col.to_pylist()

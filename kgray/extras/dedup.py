@@ -399,6 +399,7 @@ def join_pair_payload(
     *,
     num_partitions: int = PAIR_JOIN_PARTITIONS,
     broadcast_max_rows: int | None = None,
+    payload_rows: int | None = None,
 ) -> Dataset:
     """Attach `payload_col` for both pair members, producing
     (a, b, <payload>_a, <payload>_b).
@@ -411,7 +412,9 @@ def join_pair_payload(
     if broadcast_max_rows is None:
         broadcast_max_rows = PAYLOAD_BROADCAST_MAX_ROWS
     proj = payload.select_columns([id_col, payload_col])
-    if proj.count() <= broadcast_max_rows:
+    # `payload_rows` lets callers pass a metadata-cheap row count (the
+    # raw read's) so the gate doesn't execute a derived payload plan
+    if (payload_rows if payload_rows is not None else proj.count()) <= broadcast_max_rows:
         import ray as _ray
 
         lookup: dict = {}
@@ -472,11 +475,12 @@ def minhash_lsh_pairs(
     text table on `a` then `b` (join_pair_payload) and the exact
     Jaccard runs inside `map_batches`; only the verified pairs (the
     bounded result) are collected."""
+    n_docs = ds.count()  # metadata-cheap on a raw read
     bands_ds = minhash_bands(
         ds, text_col, id_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
     )
     cand = pairs_from_buckets(bands_ds, id_col)
-    withtext = join_pair_payload(cand, ds, id_col, text_col)
+    withtext = join_pair_payload(cand, ds, id_col, text_col, payload_rows=n_docs)
 
     def verify(batch: pa.Table) -> pa.Table:
         a_ids = batch["a"].to_pylist()
@@ -650,9 +654,10 @@ def simhash_pairs(
             }
         )
 
+    n_docs = ds.count()  # metadata-cheap on a raw read
     bands_ds = sims.map_batches(to_bands, batch_format="pyarrow")
     cand = pairs_from_buckets(bands_ds, id_col)
-    withsim = join_pair_payload(cand, sims, id_col, "simhash")
+    withsim = join_pair_payload(cand, sims, id_col, "simhash", payload_rows=n_docs)
 
     def verify(batch: pa.Table) -> pa.Table:
         ha = batch["simhash_a"].combine_chunks().to_numpy().astype(np.int64)
@@ -728,6 +733,7 @@ def ngram_jaccard_topk(
     pairs — the 64-perm estimator's std is ~0.06, so the margin is
     hundreds of sigma around the top-k boundary; (2) exact Jaccard on
     that shortlist only, distributed, then global sort+limit."""
+    n_docs = ds.count()  # metadata-cheap on a raw read
     bands_ds = minhash_bands(
         ds, text_col, id_col, num_perm=64, bands=32, shingle_k=shingle_k
     )
@@ -745,8 +751,7 @@ def ngram_jaccard_topk(
             )
         return batch.select(["a", "b"])
 
-    sig_rows = sigs.count()
-    if sig_rows <= PAYLOAD_BROADCAST_MAX_ROWS:
+    if n_docs <= PAYLOAD_BROADCAST_MAX_ROWS:
         # dimension-sized: broadcast the whole signature MATRIX once
         # (rows x 8*num_perm bytes) — attaching 2x512 B of signature
         # to each of millions of candidate pairs costs GBs of payload,
@@ -769,11 +774,14 @@ def ngram_jaccard_topk(
                     {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
                 )
             sid_, mat_ = _ray.get(ref)
-            a_ids = batch["a"].combine_chunks().to_numpy()
-            b_ids = batch["b"].combine_chunks().to_numpy()
-            sa = mat_[np.searchsorted(sid_, a_ids)]
-            sb = mat_[np.searchsorted(sid_, b_ids)]
-            est = (sa == sb).mean(axis=1)
+            ia = np.searchsorted(sid_, batch["a"].combine_chunks().to_numpy())
+            ib = np.searchsorted(sid_, batch["b"].combine_chunks().to_numpy())
+            est = np.empty(len(ia))
+            # L2-sized gather runs — an unchunked 100k-row fancy-index
+            # gather is ~200x slower on this host (see _SIG_CHUNK note)
+            for s in range(0, len(ia), _SIG_CHUNK):
+                e = min(s + _SIG_CHUNK, len(ia))
+                est[s:e] = (mat_[ia[s:e]] == mat_[ib[s:e]]).mean(axis=1)
             return block_topk(batch, est)
 
         shortlist = cand.map_batches(
@@ -792,13 +800,16 @@ def ngram_jaccard_topk(
                                ).reshape(batch.num_rows, -1)
             sb = np.frombuffer(b"".join(batch["_sigbin_b"].to_pylist()), dtype=np.uint64
                                ).reshape(batch.num_rows, -1)
-            est = (sa == sb).mean(axis=1)
+            est = np.empty(batch.num_rows)
+            for s in range(0, batch.num_rows, _SIG_CHUNK):
+                e = min(s + _SIG_CHUNK, batch.num_rows)
+                est[s:e] = (sa[s:e] == sb[s:e]).mean(axis=1)
             return block_topk(batch, est)
 
         shortlist = withsig.map_batches(
             estimate_joined, batch_size=None, batch_format="pyarrow"
         )
-    withtext = join_pair_payload(shortlist, ds, id_col, text_col)
+    withtext = join_pair_payload(shortlist, ds, id_col, text_col, payload_rows=n_docs)
 
     def score(batch: pa.Table) -> pa.Table:
         a_ids = batch["a"].to_pylist()
