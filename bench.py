@@ -47,6 +47,18 @@ def _bench_minhash_bands() -> float:
     return round(time.monotonic() - t0, 3)
 
 
+# A timed run only counts when a fresh fixed-work parallelism probe
+# reads at least this efficiency — below it, an external tenant holds
+# the cores and the measurement would grade the host, not the engine
+# (BENCH_r02's 15% "regression" was exactly that; BASELINE.md
+# host-noise protocol).
+PROBE_GATE = 0.75
+
+
+def _probe_eff(p: dict) -> float:
+    return next(v for k, v in p.items() if k.startswith("host_parallel_eff"))
+
+
 def _consume(res) -> int:
     import pyarrow as pa
 
@@ -85,23 +97,62 @@ def run_bench() -> dict:
     # warm page cache (untimed): one full read of the inputs
     rd.read_parquet(corpus_dir).count()
 
-    t0 = time.monotonic()
-    # block count is data-driven (~60MB decompressed per block), with a
-    # floor of 2 blocks per CPU so small inputs still parallelize
-    triples = pipeline.flagship(
-        corpus_dir, vocab, override_num_blocks=max(64, 2 * NUM_CPUS), with_sha=True
-    )
-    n_triples = triples.count()
-    headline = time.monotonic() - t0
+    def run_flagship() -> tuple[float, int]:
+        t0 = time.monotonic()
+        # block count is data-driven (~60MB decompressed per block), with
+        # a floor of 2 blocks per CPU so small inputs still parallelize
+        triples = pipeline.flagship(
+            corpus_dir, vocab, override_num_blocks=max(64, 2 * NUM_CPUS), with_sha=True
+        )
+        n = triples.count()
+        return time.monotonic() - t0, n
+
+    # Probe-gated best-of-N headline (the scaling harness's protocol,
+    # ported to the default path per VERDICT r2 task 1): each timed run
+    # starts only in a clean host window (probe eff >= PROBE_GATE, up
+    # to a bounded number of attempts), best-of-3 is reported, and
+    # every probe is embedded in the JSON so the number is auditable.
+    # Under GRAFT_HEADLINE_ONLY (the scaling harness's subprocesses)
+    # the harness itself gates and repeats, so one run suffices.
+    target_runs = 1 if os.environ.get("GRAFT_HEADLINE_ONLY") else 3
+    headline_runs: list[float] = []
+    probes: list[dict] = []
+    n_triples = 0
+    attempts = 0
+    max_attempts = target_runs + 4
+    while len(headline_runs) < target_runs and attempts < max_attempts:
+        attempts += 1
+        p = host_probe(min(16, max(4, NUM_CPUS)))
+        if (
+            target_runs > 1
+            and _probe_eff(p) < PROBE_GATE
+            and attempts < max_attempts
+        ):
+            p["dirty_window"] = True
+            probes.append(p)
+            time.sleep(30)
+            continue
+        secs, n_triples = run_flagship()
+        p["run_seconds"] = round(secs, 3)
+        probes.append(p)
+        headline_runs.append(secs)
+    headline = min(headline_runs)
     rows_in = fixtures.SCALES["bench"]
 
     per_query: dict[str, float] = {"kg_triples": round(headline, 3)}
     if not os.environ.get("GRAFT_HEADLINE_ONLY"):
+        # per-query: best-of-2 back-to-back (a mid-window tenant spike
+        # poisons one run, rarely both; probes above bound the window)
         for name in BENCH_QUERIES:
-            tq = time.monotonic()
-            _consume(queries.QUERIES[name](SF_DIR))
-            per_query[name] = round(time.monotonic() - tq, 3)
-        per_query["minhash_bands_stage"] = _bench_minhash_bands()
+            best = float("inf")
+            for _ in range(2):
+                tq = time.monotonic()
+                _consume(queries.QUERIES[name](SF_DIR))
+                best = min(best, time.monotonic() - tq)
+            per_query[name] = round(best, 3)
+        per_query["minhash_bands_stage"] = min(
+            _bench_minhash_bands(), _bench_minhash_bands()
+        )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     return {
@@ -115,6 +166,8 @@ def run_bench() -> dict:
         "triples_out": n_triples,
         "rows_per_s": round(rows_in / headline, 1),
         "triples_per_s": round(n_triples / headline, 1),
+        "headline_runs": [round(s, 3) for s in headline_runs],
+        "probes": probes,
     }
 
 

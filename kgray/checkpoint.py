@@ -162,10 +162,11 @@ def run_checkpointed(
             # loudly, not silently produce a wrong union.
             lp = os.path.join(lin_dir, f"part-{pid}.json")
             planned = [os.path.basename(f) for f in files]
-            recorded = None
+            recorded = rec_rows = None
             if os.path.exists(lp):
                 with open(lp) as f:
-                    recorded = json.load(f).get("files")
+                    rec = json.load(f)
+                recorded, rec_rows = rec.get("files"), rec.get("rows_in")
             if recorded != planned:
                 raise ValueError(
                     f"resume plan mismatch for partition {pid}: checkpoint was "
@@ -173,6 +174,19 @@ def run_checkpointed(
                     f"files={planned} (different --partitions value or input "
                     f"dir?). Use a fresh --out directory, or delete "
                     f"{done_dir} to recompute everything."
+                )
+            # basenames alone can't catch a REGENERATED input dir
+            # (same names, different rows) — also compare the recorded
+            # row count against the current files' parquet footers
+            # (metadata-only, no data read; ADVICE r2)
+            cur_rows = sum(pq.read_metadata(f).num_rows for f in files)
+            if rec_rows is not None and rec_rows != cur_rows:
+                raise ValueError(
+                    f"resume content mismatch for partition {pid}: checkpoint "
+                    f"recorded rows_in={rec_rows} but the current input files "
+                    f"hold {cur_rows} rows — the input directory was "
+                    f"regenerated since the checkpoint. Use a fresh --out "
+                    f"directory, or delete {done_dir} to recompute."
                 )
             skipped.append(pid)
             continue

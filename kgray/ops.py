@@ -71,6 +71,14 @@ def anti_join_filter(ds: Dataset, key: str, values: set) -> Dataset:
 BROADCAST_MAX_KEYS = 2_000_000
 
 
+def _drop_null_keys(ds: Dataset, key: str) -> Dataset:
+    return ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b[key])),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+
+
 def semi_join(
     left: Dataset,
     key: str,
@@ -85,11 +93,19 @@ def semi_join(
     (`ray.put`) and the filter is a map-side `pc.is_in`; above the
     threshold it becomes a distributed ``left_semi`` hash join (no
     driver materialization). Both paths produce identical rows
-    (tested in tests/test_queries.py)."""
-    keys_ds = right.select_columns([right_key])
+    (tested in tests/test_queries.py).
+
+    NULL semantics (explicit, so both paths agree — ADVICE r2): a NULL
+    left key never matches and is dropped; NULL right keys are ignored.
+    The projected right side is materialized once (a single narrow
+    column; spills if huge) so the size gate and the consumer share one
+    execution of a derived right-side plan instead of running it twice
+    (count + unique/join — ADVICE r2)."""
+    keys_ds = _drop_null_keys(right.select_columns([right_key]), right_key).materialize()
+    left_nn = _drop_null_keys(left, key)
     if keys_ds.count() <= broadcast_max_keys:
-        return semi_join_filter(left, key, set(keys_ds.unique(right_key)))
-    return left.join(
+        return semi_join_filter(left_nn, key, set(keys_ds.unique(right_key)))
+    return left_nn.join(
         keys_ds,
         join_type="left_semi",
         num_partitions=num_partitions,
@@ -107,12 +123,16 @@ def anti_join(
     num_partitions: int = 16,
     broadcast_max_keys: int = BROADCAST_MAX_KEYS,
 ) -> Dataset:
-    """J3 anti join; same size gate as `semi_join` (broadcast set
-    below the threshold, distributed ``left_anti`` hash join above)."""
-    keys_ds = right.select_columns([right_key])
+    """J3 anti join; same size gate, NULL normalization and single
+    right-side execution as `semi_join` (broadcast set below the
+    threshold, distributed ``left_anti`` hash join above). NULL-key
+    left rows are dropped on BOTH paths (`pc.is_in` nulls filter out
+    on the broadcast path; Ray's left_anti would keep them)."""
+    keys_ds = _drop_null_keys(right.select_columns([right_key]), right_key).materialize()
+    left_nn = _drop_null_keys(left, key)
     if keys_ds.count() <= broadcast_max_keys:
-        return anti_join_filter(left, key, set(keys_ds.unique(right_key)))
-    return left.join(
+        return anti_join_filter(left_nn, key, set(keys_ds.unique(right_key)))
+    return left_nn.join(
         keys_ds,
         join_type="left_anti",
         num_partitions=num_partitions,

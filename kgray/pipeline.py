@@ -155,13 +155,27 @@ def distinct_triples(raw: Dataset, num_partitions: int | None = None) -> Dataset
     sort-based groupby distinct (measured on the bench corpus). Rows
     were already block-deduped upstream in `emit_triples`.
     """
-    if num_partitions is None:
-        import ray
+    import ray
 
+    if num_partitions is None:
         # fewer, larger shuffle partitions measure fastest locally
         # (aggregator actors are not free); at real cluster scale this
         # is overridden to ~2x total cores
         num_partitions = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    # whole-block dedup after a keyed repartition assumes hash-shuffle
+    # finalize emits ONE block per partition (equal triples can never
+    # straddle blocks) — verified on ray 2.49.x and pinned to it; any
+    # other version takes the groupby path, which owns group-boundary
+    # semantics (same invariant note as dedup._hash_shuffle_active)
+    if not ray.__version__.startswith("2.49"):
+        from ray.data.aggregate import Count
+
+        return (
+            raw.groupby(["subj", "pred", "obj"])
+            .aggregate(Count(alias_name="_n"))
+            .drop_columns(["_n"])
+            .map_batches(stages.finalize_triples, batch_format="pyarrow")
+        )
     with hash_shuffle_ctx():
         return (
             raw.repartition(num_partitions, keys=["subj", "pred", "obj"])
@@ -173,11 +187,75 @@ def distinct_triples(raw: Dataset, num_partitions: int | None = None) -> Dataset
 # Phased-shuffle size gate: the phased mode pins the narrow triple
 # rows in the object store between the map phase and the all-to-all
 # (a measured 3x win locally — see build_triples), but the pinned set
-# must FIT. Estimated triple bytes per input row (raw, pre-global-
-# dedup, post block-dedup; measured on the bench corpus: ~5.5 emitted
-# triples/row x ~130 B Arrow row) with a safety factor.
+# must FIT. Fallback bytes-per-row constant (raw, pre-global-dedup,
+# post block-dedup; measured on the bench corpus: ~5.5 emitted
+# triples/row x ~130 B Arrow row, incl. safety) — used only when the
+# corpus is too small to bother sampling; above
+# PHASED_SAMPLE_MIN_ROWS the estimate comes from an actual sample run
+# through extract+link+emit (estimate_triple_bytes_per_row), so a
+# corpus with unusually dense mentions gates honestly (VERDICT r2
+# task 4).
 TRIPLE_BYTES_PER_INPUT_ROW = 1200
 PHASED_MAX_STORE_FRACTION = 0.25
+PHASED_SAMPLE_MIN_ROWS = 100_000
+PHASED_SAMPLE_ROWS = 1024
+PHASED_SAMPLE_SAFETY = 1.5
+
+_BPR_CACHE: dict[tuple[str, str], float] = {}
+
+
+def estimate_triple_bytes_per_row(
+    corpus_path: str, vocab_path: str, sample_rows: int = PHASED_SAMPLE_ROWS
+) -> float:
+    """Deterministic sample estimate of raw-triple bytes per input row:
+    up to `sample_rows` rows drawn from the head of every input file's
+    first row group (spread across files so one skewed file doesn't own
+    the sample), run through the REAL extract -> link -> emit stages
+    in-process (no Ray tasks), Arrow footprint measured. Cached per
+    (corpus, vocab) — the sample is deterministic, so so is the
+    estimate."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    key = (corpus_path, vocab_path)
+    cached = _BPR_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    files = (
+        sorted(glob.glob(os.path.join(corpus_path, "*.parquet")))
+        if os.path.isdir(corpus_path)
+        else [corpus_path]
+    )
+    per_file = max(1, sample_rows // max(1, len(files)))
+    parts: list[pa.Table] = []
+    got = 0
+    for f in files:
+        pf = pq.ParquetFile(f)
+        it = pf.iter_batches(
+            batch_size=per_file, row_groups=[0], columns=CORPUS_COLUMNS
+        )
+        b = next(it, None)
+        if b is not None and b.num_rows:
+            parts.append(pa.Table.from_batches([b]))
+            got += b.num_rows
+        if got >= sample_rows:
+            break
+    if not got:
+        return float(TRIPLE_BYTES_PER_INPUT_ROW)
+
+    from .linker import VocabIndex, link_transform
+
+    sample = pa.concat_tables(parts)
+    mentions = stages.extract_mentions(sample)
+    triples = link_transform(
+        VocabIndex(pq.read_table(vocab_path)), {}, mentions, emit=True
+    )
+    bpr = (triples.nbytes / sample.num_rows) * PHASED_SAMPLE_SAFETY
+    _BPR_CACHE[key] = bpr
+    return bpr
 
 
 def estimate_corpus_rows(corpus_path: str) -> int:
@@ -195,14 +273,17 @@ def estimate_corpus_rows(corpus_path: str) -> int:
     return sum(pq.read_metadata(f).num_rows for f in files)
 
 
-def choose_phased(corpus_rows: int) -> bool:
+def choose_phased(corpus_rows: int, bytes_per_row: float | None = None) -> bool:
     """True when the estimated raw-triple footprint fits comfortably
     in the cluster object store; False -> fully streamed shuffle (the
-    10^12-row regime, where even narrow triples exceed any store)."""
+    10^12-row regime, where even narrow triples exceed any store).
+    `bytes_per_row` defaults to the bench-measured constant; callers
+    with a real corpus pass `estimate_triple_bytes_per_row`'s sampled
+    value (flagship does, above PHASED_SAMPLE_MIN_ROWS)."""
     import ray
 
     store = ray.cluster_resources().get("object_store_memory", 0) or 0
-    est = corpus_rows * TRIPLE_BYTES_PER_INPUT_ROW
+    est = corpus_rows * (bytes_per_row or TRIPLE_BYTES_PER_INPUT_ROW)
     return est < PHASED_MAX_STORE_FRACTION * store
 
 
@@ -254,7 +335,14 @@ def flagship(
     mode only when the estimated raw-triple footprint fits the object
     store (`choose_phased`); pass True/False to force either mode."""
     if phased == "auto":
-        phased = choose_phased(estimate_corpus_rows(corpus_path))
+        rows = estimate_corpus_rows(corpus_path)
+        bpr = None
+        if rows > PHASED_SAMPLE_MIN_ROWS:
+            # big enough that the gate matters AND the ~1s sample
+            # amortizes: estimate bytes/row from a real sample run
+            # instead of trusting the bench-corpus constant
+            bpr = estimate_triple_bytes_per_row(corpus_path, vocab_path)
+        phased = choose_phased(rows, bpr)
     with hash_shuffle_ctx():
         corpus = read_corpus(corpus_path, override_num_blocks=override_num_blocks)
         ds = build_triples(

@@ -177,8 +177,22 @@ def emit_triples(batch: pa.Table) -> pa.Table:
 
 def finalize_triples(batch: pa.Table) -> pa.Table:
     """Add the write-partition bucket column (sha64(subj) % 64 —
-    stable sha-derived hash, spec §6; runs on distinct rows only)."""
-    bucket = pa.array(
-        [sha64(s) % 64 for s in batch["subj"].to_pylist()], type=pa.int32()
+    stable sha-derived hash, spec §6; runs on distinct rows only).
+
+    Subjects repeat heavily across predicates, so the per-string hash
+    runs once per DISTINCT subj (C++ dictionary encode) and per-row
+    buckets come from a vectorized numpy gather."""
+    import numpy as np
+
+    subj = batch["subj"]
+    if isinstance(subj, pa.ChunkedArray):
+        subj = subj.combine_chunks()
+    enc = subj.dictionary_encode()
+    uniq_buckets = np.fromiter(
+        (sha64(s) % 64 for s in enc.dictionary.to_pylist()),
+        dtype=np.int32,
+        count=len(enc.dictionary),
     )
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    bucket = pa.array(uniq_buckets[idx], type=pa.int32())
     return batch.append_column("bucket", bucket)

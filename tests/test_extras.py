@@ -112,7 +112,12 @@ def test_knn_lsh_recall(ray_session):
     ds = ray.data.from_arrow(t)
     queries = t.slice(0, 5)
     exact = knn_brute(ds, queries, k=10)
-    approx = knn_lsh(ds, queries, k=10)
+    stats: dict = {}
+    approx = knn_lsh(ds, queries, k=10, stats=stats)
+    # the rescore must be PRUNED, not a full-corpus pack+shuffle
+    # (VERDICT r2 task 2): candidates ≪ corpus -> broadcast is_in path
+    assert stats["path"] == "broadcast", stats
+    assert 0 < stats["n_candidates"] < len(t), stats
 
     def sets(tbl):
         d = {}

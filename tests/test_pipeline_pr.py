@@ -80,6 +80,57 @@ def test_choose_phased_gate(ray_session):
     assert pipeline.choose_phased(too_big) is False
 
 
+def test_phased_gate_sample_estimate(ray_session, vocab_file, tmp_path):
+    """VERDICT r2 task 4: on a corpus with far denser mentions than the
+    bench corpus, the constant bytes-per-row would under-estimate the
+    pinned footprint (and wrongly pin it); the sampled estimate
+    (extract+link+emit over a deterministic sample) catches it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    parts = "\n".join(
+        f'<score-part id="P{i}"><part-name>Instrument Nr {i}</part-name></score-part>'
+        for i in range(60)  # ~60 instrument mentions/doc vs bench ~1-3
+    )
+    def xml(i: int) -> str:
+        # distinct work per doc, so the emitted triples are distinct
+        # (the emit stage block-dedups) — the density is real
+        return (
+            '<score-partwise version="3.1">'
+            f"<work><work-number>W{i}</work-number>"
+            f"<work-title>Dense Suite {i}</work-title></work>"
+            '<identification><creator type="composer">Johann Sebastian Bach</creator>'
+            "<encoding><encoding-date>1720</encoding-date></encoding></identification>"
+            f"<part-list>{parts}</part-list>"
+            "</score-partwise>"
+        )
+
+    n = 64
+    tbl = pa.table(
+        {
+            "repo": pa.array(["r"] * n),
+            "path": pa.array([f"p{i}.musicxml" for i in range(n)]),
+            "commit": pa.array(["c"] * n),
+            "lang": pa.array(["musicxml"] * n),
+            "content": pa.array([xml(i) for i in range(n)]),
+        }
+    )
+    cdir = tmp_path / "dense_corpus"
+    cdir.mkdir()
+    pq.write_table(tbl, str(cdir / "part-0.parquet"))
+
+    bpr = pipeline.estimate_triple_bytes_per_row(str(cdir), vocab_file)
+    # dense mentions -> the honest estimate dwarfs the bench constant
+    assert bpr > 3 * pipeline.TRIPLE_BYTES_PER_INPUT_ROW, bpr
+    # a corpus size the constant would PIN but the sampled estimate
+    # correctly refuses (its true footprint exceeds the store budget)
+    store = _ray.cluster_resources()["object_store_memory"]
+    rows_between = int(2 * pipeline.PHASED_MAX_STORE_FRACTION * store / bpr)
+    assert pipeline.choose_phased(rows_between) is True  # constant: wrong
+    assert pipeline.choose_phased(rows_between, bpr) is False  # sample: right
+
+
 def test_sha_invariant(ray_session, tiny_corpus, oracle_result):
     """Engine content_sha256 equals the oracle's for 100% of rows."""
     corpus = ray.data.from_arrow(tiny_corpus)
