@@ -46,4 +46,8 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each SQL-expressible query."""
     from kgray import queries as q
 
+    # the multimodal oracle reads an expected parquet produced by an
+    # independent sequential implementation — write it now so the SQL
+    # is runnable whenever the driver holds it
+    q.write_multimodal_expected()
     return q.ORACLE_SQL

