@@ -54,6 +54,25 @@ def _bench_minhash_bands() -> float:
 # host-noise protocol).
 PROBE_GATE = 0.75
 
+# The probe alone cannot certify a clean 32-CPU window (a 16-proc
+# probe reads ~0.89 while a tenant holds 8 of 32 cores — measured: the
+# same flagship run was 49 s in such a window and 19.5 s minutes
+# later). So the headline loop ALSO checks the run against the
+# recorded quiet-host baseline (BASELINE.md, engine-attributable):
+# a run within ACCEPT_FACTOR of it proves the window was clean; a
+# slower run triggers a bounded retry in a later window. All runs and
+# probes are embedded — nothing is discarded silently.
+# quiet-host flagship seconds by num_cpus (measured, BASELINE.md);
+# nearest key is used for other counts. Override: GRAFT_QUIET_HEADLINE_S.
+_QUIET_BY_CPUS = {4: 90.0, 8: 50.0, 16: 23.5, 32: 21.0}
+QUIET_HEADLINE_S = float(
+    os.environ.get("GRAFT_QUIET_HEADLINE_S")
+    or _QUIET_BY_CPUS[min(_QUIET_BY_CPUS, key=lambda k: abs(k - NUM_CPUS))]
+)
+ACCEPT_FACTOR = 1.3
+HEADLINE_MAX_ATTEMPTS = 8
+HEADLINE_DEADLINE_S = 600.0
+
 
 def _probe_eff(p: dict) -> float:
     return next(v for k, v in p.items() if k.startswith("host_parallel_eff"))
@@ -107,26 +126,30 @@ def run_bench() -> dict:
         n = triples.count()
         return time.monotonic() - t0, n
 
-    # Probe-gated best-of-N headline (the scaling harness's protocol,
-    # ported to the default path per VERDICT r2 task 1): each timed run
-    # starts only in a clean host window (probe eff >= PROBE_GATE, up
-    # to a bounded number of attempts), best-of-3 is reported, and
-    # every probe is embedded in the JSON so the number is auditable.
+    # Contention-proof headline (VERDICT r2 task 1, hardened): each
+    # attempt is probe-gated AND the run itself is checked against the
+    # recorded quiet baseline — a run within ACCEPT_FACTOR proves the
+    # window was clean and stops the loop; a slower one is recorded
+    # and retried in a later window (bounded attempts + deadline).
+    # Every run and probe is embedded so the number is auditable.
     # Under GRAFT_HEADLINE_ONLY (the scaling harness's subprocesses)
-    # the harness itself gates and repeats, so one run suffices.
-    target_runs = 1 if os.environ.get("GRAFT_HEADLINE_ONLY") else 3
+    # the harness gates and repeats itself, so one run suffices.
+    headline_only = bool(os.environ.get("GRAFT_HEADLINE_ONLY"))
     headline_runs: list[float] = []
     probes: list[dict] = []
     n_triples = 0
     attempts = 0
-    max_attempts = target_runs + 4
-    while len(headline_runs) < target_runs and attempts < max_attempts:
+    t_loop = time.monotonic()
+    accept_s = QUIET_HEADLINE_S * ACCEPT_FACTOR
+    while attempts < HEADLINE_MAX_ATTEMPTS:
         attempts += 1
         p = host_probe(min(16, max(4, NUM_CPUS)))
+        budget_left = (time.monotonic() - t_loop) < HEADLINE_DEADLINE_S
         if (
-            target_runs > 1
+            not headline_only
             and _probe_eff(p) < PROBE_GATE
-            and attempts < max_attempts
+            and budget_left
+            and attempts < HEADLINE_MAX_ATTEMPTS
         ):
             p["dirty_window"] = True
             probes.append(p)
@@ -136,6 +159,18 @@ def run_bench() -> dict:
         p["run_seconds"] = round(secs, 3)
         probes.append(p)
         headline_runs.append(secs)
+        if headline_only:
+            break
+        if secs <= accept_s:
+            # clean-window evidence; one cheap confirmation run in the
+            # same window, then done
+            secs2, n_triples = run_flagship()
+            probes.append({"confirm_run_seconds": round(secs2, 3)})
+            headline_runs.append(secs2)
+            break
+        if not budget_left:
+            break
+        time.sleep(20)  # likely tenant window — try again later
     headline = min(headline_runs)
     rows_in = fixtures.SCALES["bench"]
 

@@ -15,6 +15,7 @@ Ray and DuckDB, integer SUM does not.
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -1175,3 +1176,60 @@ def q_kg_canonical_fuzzy(sf_dir: str):
 
 
 QUERIES["kg_canonical_fuzzy"] = q_kg_canonical_fuzzy
+
+
+# ---------------------------------------------------------------------------
+# Golden-parquet DuckDB oracles for the KG pipeline (shrinks the
+# no_oracle tail, VERDICT r2 task 7). The goldens are produced by the
+# INDEPENDENT sequential implementation (reference_impl/oracle.py —
+# different code shape from the engine) over the deterministic seeded
+# smoke fixture, which is exactly what `_kg_scale` maps the driver's
+# correctness scale (sf0.01) to. Committed at tests/golden/ and
+# regenerable with `python tools/make_goldens.py` (asserts bit-
+# stability against the committed files).
+
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "golden"
+)
+
+SQL_KG_TRIPLES = (
+    "SELECT subj, pred, obj, bucket "
+    f"FROM read_parquet('{_GOLDEN_DIR}/smoke_triples.parquet')"
+)
+
+SQL_KG_STATS = (
+    "SELECT pred, COUNT(*) AS n "
+    f"FROM read_parquet('{_GOLDEN_DIR}/smoke_triples.parquet') "
+    "GROUP BY pred ORDER BY pred"
+)
+
+SQL_KG_CANONICAL_FUZZY = (
+    "SELECT mention_type, block, norm, n_mentions, n_variants, "
+    "canonical_uri, dbpedia_id, viaf_id, europeana_id "
+    f"FROM read_parquet('{_GOLDEN_DIR}/smoke_canonical_fuzzy.parquet')"
+)
+
+SQL_KG_MENTIONS = (
+    "SELECT doc_key, work_uri, mention_type, surface, norm "
+    f"FROM read_parquet('{_GOLDEN_DIR}/smoke_mentions.parquet')"
+)
+
+# kg_canonical_salted produces EXACTLY the same table as kg_canonical
+# (two-phase salted vs combiner groupby; parity-asserted in pytest),
+# so both share the one reference golden.
+SQL_KG_CANONICAL = (
+    "SELECT mention_type, norm, n_mentions, canonical_uri, "
+    "dbpedia_id, viaf_id, europeana_id "
+    f"FROM read_parquet('{_GOLDEN_DIR}/smoke_canonical.parquet')"
+)
+
+ORACLE_SQL.update(
+    {
+        "kg_triples": SQL_KG_TRIPLES,
+        "kg_stats": SQL_KG_STATS,
+        "kg_canonical_fuzzy": SQL_KG_CANONICAL_FUZZY,
+        "kg_mentions": SQL_KG_MENTIONS,
+        "kg_canonical": SQL_KG_CANONICAL,
+        "kg_canonical_salted": SQL_KG_CANONICAL,
+    }
+)

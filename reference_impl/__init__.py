@@ -9,4 +9,9 @@ normalizers, similarity kernels, parser and linker are re-implemented
 here in a different style so a bug cannot cancel out across the two.
 """
 
-from .oracle import run_canonical_fuzzy, run_oracle  # noqa: F401
+from .oracle import (  # noqa: F401
+    run_canonical,
+    run_canonical_fuzzy,
+    run_mentions,
+    run_oracle,
+)

@@ -278,40 +278,59 @@ def _link_mention(kind: str, norm: str, catalog: dict, memo: dict) -> dict:
 FUZZY_THETA = 0.90
 
 
-def run_canonical_fuzzy(corpus_table: pa.Table, vocab_table: pa.Table,
-                        theta: float = FUZZY_THETA) -> pa.Table:
-    """Sequential reference of the in-group fuzzy canonical merge:
-    per-(kind, norm) canonical rows, agents blocked by last token and
-    greedily merged (visit order -n_mentions then norm; join the first
-    compatible representative: same authority uri when both linked,
-    else pair score >= theta; an unlinked representative adopts the
-    first linked variant's links). Independent re-implementation — no
-    kgray code."""
+def _doc_mention_rows(rec: dict) -> list[tuple[str, str, str, str, str]]:
+    """Per-document mention explosion: (doc_key, work_uri, kind,
+    surface, norm) per extracted mention, parse failures and non-score
+    languages yielding nothing. The reference's one-record-at-a-time
+    shape of the engine's M2..M7 fused stage."""
+    if rec["lang"] not in ("musicxml", "mei"):
+        return []
+    try:
+        root = ET.fromstring(rec["content"])
+    except Exception:
+        return []
+    doc_key = f"{rec['repo']}/{rec['path']}@{rec['commit']}"
+    fields = _extract_fields(root, rec["lang"])
+    work_uri = ("work:" + fields["work_id"]) if fields["work_id"] else ("doc:" + doc_key)
+    out = []
+    for c in fields["composers"]:
+        out.append((doc_key, work_uri, "agent", c, _norm_person(c)))
+    if fields["title"]:
+        out.append((doc_key, work_uri, "work", fields["title"],
+                    _fold_plain(fields["title"])))
+    if fields["date"]:
+        iso = fields["date"].strip()
+        if iso:
+            out.append((doc_key, work_uri, "date", fields["date"], iso))
+    for ins in fields["instruments"]:
+        out.append((doc_key, work_uri, "instrument", ins, _fold_plain(ins)))
+    return out
+
+
+def run_mentions(corpus_table: pa.Table) -> pa.Table:
+    """Sequential reference of the mention-extraction segment (engine:
+    pipeline.build_mentions): one row per extracted mention, sorted by
+    all columns for bit-stable goldens."""
+    rows: list[tuple] = []
+    for rec in corpus_table.to_pylist():
+        rows.extend(_doc_mention_rows(rec))
+    rows.sort()
+    cols = ["doc_key", "work_uri", "mention_type", "surface", "norm"]
+    return pa.table(
+        {c: [r[i] for r in rows] for i, c in enumerate(cols)},
+        schema=pa.schema([(c, pa.string()) for c in cols]),
+    )
+
+
+def _canonical_rows(corpus_table: pa.Table, vocab_table: pa.Table) -> list[dict]:
+    """Per-(kind, norm) canonical records before any fuzzy merging:
+    mention counts + linker output (dates get the derived date: uri)."""
     catalog = _build_catalog(vocab_table)
     memo: dict = {}
     counts: dict[tuple, int] = {}
-
     for rec in corpus_table.to_pylist():
-        if rec["lang"] not in ("musicxml", "mei"):
-            continue
-        try:
-            root = ET.fromstring(rec["content"])
-        except Exception:
-            continue
-        fields = _extract_fields(root, rec["lang"])
-        keys = []
-        for c in fields["composers"]:
-            keys.append(("agent", _norm_person(c)))
-        if fields["title"]:
-            keys.append(("work", _fold_plain(fields["title"])))
-        if fields["date"]:
-            iso = fields["date"].strip()
-            if iso:
-                keys.append(("date", iso))
-        for ins in fields["instruments"]:
-            keys.append(("instrument", _fold_plain(ins)))
-        for k in keys:
-            counts[k] = counts.get(k, 0) + 1
+        for _dk, _wu, kind, _surface, norm in _doc_mention_rows(rec):
+            counts[(kind, norm)] = counts.get((kind, norm), 0) + 1
 
     link_cols = ("dbpedia", "viaf", "europeana")
     rows = []
@@ -328,6 +347,37 @@ def run_canonical_fuzzy(corpus_table: pa.Table, vocab_table: pa.Table,
         for v in link_cols:
             row[f"{v}_id"] = links[v][0] if v in links else None
         rows.append(row)
+    return rows
+
+
+def run_canonical(corpus_table: pa.Table, vocab_table: pa.Table) -> pa.Table:
+    """Sequential reference of exact canonicalization (engine:
+    canonicalize.canonical_table): per-(kind, norm) counts + links,
+    no fuzzy merge. Sorted by (mention_type, norm) for bit-stable
+    goldens."""
+    rows = _canonical_rows(corpus_table, vocab_table)
+    rows.sort(key=lambda r: (r["mention_type"], r["norm"]))
+    cols = ["mention_type", "norm", "n_mentions", "canonical_uri",
+            "dbpedia_id", "viaf_id", "europeana_id"]
+    return pa.table(
+        {c: [r[c] for r in rows] for c in cols},
+        schema=pa.schema(
+            [(c, pa.int64() if c == "n_mentions" else pa.string()) for c in cols]
+        ),
+    )
+
+
+def run_canonical_fuzzy(corpus_table: pa.Table, vocab_table: pa.Table,
+                        theta: float = FUZZY_THETA) -> pa.Table:
+    """Sequential reference of the in-group fuzzy canonical merge:
+    per-(kind, norm) canonical rows, agents blocked by last token and
+    greedily merged (visit order -n_mentions then norm; join the first
+    compatible representative: same authority uri when both linked,
+    else pair score >= theta; an unlinked representative adopts the
+    first linked variant's links). Independent re-implementation — no
+    kgray code."""
+    link_cols = ("dbpedia", "viaf", "europeana")
+    rows = _canonical_rows(corpus_table, vocab_table)
 
     out = []
     groups: dict[tuple, list] = {}
