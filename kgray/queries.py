@@ -1233,3 +1233,27 @@ ORACLE_SQL.update(
         "kg_canonical_salted": SQL_KG_CANONICAL,
     }
 )
+
+
+# The sketch/ANN family's goldens come from reference_impl/sketch.py —
+# sequential dict-and-loop implementations of each operator's spec
+# (hash family + banding + exact verify) over the driver's sf0.01
+# tables, no kgray pipeline code. The ngram reference additionally
+# verifies ALL banded candidates (no estimate prefilter), so it checks
+# the engine's prefilter-superset claim, not just its arithmetic.
+ORACLE_SQL.update(
+    {
+        "dedup_minhash_docs": "SELECT a, b, jaccard "
+        f"FROM read_parquet('{_GOLDEN_DIR}/sf001_dedup_minhash.parquet')",
+        "dedup_simhash_docs": "SELECT a, b, hamming "
+        f"FROM read_parquet('{_GOLDEN_DIR}/sf001_dedup_simhash.parquet')",
+        "ngram_jaccard_topk": "SELECT a, b, jaccard "
+        f"FROM read_parquet('{_GOLDEN_DIR}/sf001_ngram_topk.parquet')",
+        "knn_lsh": "SELECT query_id, neighbor_id, cos "
+        f"FROM read_parquet('{_GOLDEN_DIR}/sf001_knn_lsh.parquet')",
+        "knn_ivf": "SELECT query_id, neighbor_id, cos "
+        f"FROM read_parquet('{_GOLDEN_DIR}/sf001_knn_ivf.parquet')",
+        "embedding_dup_pairs": "SELECT a, b, cos "
+        f"FROM read_parquet('{_GOLDEN_DIR}/sf001_embedding_dup_pairs.parquet')",
+    }
+)

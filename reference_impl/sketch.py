@@ -1,0 +1,401 @@
+"""Sequential reference implementations of the sketch / ANN pipelines.
+
+Single process, dict-and-loop shaped — the same role `oracle.py` plays
+for the KG pipeline: an INDEPENDENT implementation of the semantic
+spec each distributed pipeline in `kgray/extras/` commits to
+(docs/PIPELINE_SPEC.md-style constants restated below), used to
+produce committed golden parquets that back DuckDB oracles. No
+pipeline code is shared with `kgray/`; only the spec constants
+(hash/permutation seeds, banding shapes, caps, rounding) are the same
+— they define WHAT the operator computes, exactly like the KG spec's
+normalization rules.
+
+The banding/bucketing structure (which pairs become candidates) is
+part of each operator's spec: these are LSH algorithms, so the output
+is defined by (hash family + banding + verify), not by "all true
+near-duplicates". The reference builds the same candidate universe
+with plain dicts, then verifies exactly — no joins, no blocks, no
+distribution — so a bug in the engine's shuffle/join machinery cannot
+cancel out.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+# -- spec constants (shared with kgray/extras by definition) -----------------
+
+MERSENNE = (1 << 61) - 1
+MASK64 = (1 << 64) - 1
+SPLITMIX_INIT = 0x9E3779B97F4A7C15
+
+
+def _h64(s: str) -> int:
+    """blake2b-8 of the UTF-8 bytes, big-endian uint64 (spec hash)."""
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def _perms(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """The spec's permutation constants: numpy PCG64(seed) draws."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _splitmix(x: int) -> int:
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & MASK64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & MASK64
+    return x ^ (x >> 31)
+
+
+def _to_i64(x: int) -> int:
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+# -- shingles / signatures ---------------------------------------------------
+
+def _sig_shingles(text: str, k: int) -> set[str]:
+    """Shingle set used for SIGNATURES: empty doc -> empty set."""
+    if not text:
+        return set()
+    if len(text) < k:
+        return {text}
+    return {text[i: i + k] for i in range(len(text) - k + 1)}
+
+
+def _verify_shingles(text: str, k: int) -> set[str]:
+    """Shingle set used by the exact-Jaccard VERIFY: an empty doc
+    yields {''} (spec: range(max(1, len-k+1)))."""
+    return {text[i: i + k] for i in range(max(1, len(text) - k + 1))}
+
+
+def _signature(text: str, k: int, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """One doc's (num_perm,) uint64 MinHash signature. uint64
+    wraparound multiply-add then mod 2^61-1, exactly the spec's
+    arithmetic; empty doc -> all MERSENNE."""
+    sh = _sig_shingles(text, k)
+    if not sh:
+        return np.full(len(a), MERSENNE, dtype=np.uint64)
+    out = np.full(len(a), np.uint64(MERSENNE), dtype=np.uint64)
+    m = np.uint64(MERSENNE)
+    for s in sh:
+        v = (a * np.uint64(_h64(s)) + b) % m
+        out = np.minimum(out, v)
+    return out
+
+
+def _band_keys(sig: np.ndarray, bands: int) -> list[tuple[int, int]]:
+    """(band_id, band_hash) keys: a sequential splitmix64 chain over
+    each band's rows, int64 view."""
+    rpb = len(sig) // bands
+    keys = []
+    for bi in range(bands):
+        h = SPLITMIX_INIT
+        for j in range(rpb):
+            h = _splitmix(h ^ int(sig[bi * rpb + j]))
+        keys.append((bi, _to_i64(h)))
+    return keys
+
+
+def _bucket_pairs(
+    buckets: dict[tuple[int, int], list[int]], max_bucket: int
+) -> set[tuple[int, int]]:
+    """Candidate pairs a < b from buckets; buckets with fewer than 2
+    or more than max_bucket distinct ids contribute nothing."""
+    pairs: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        u = sorted(set(ids))
+        if len(u) < 2 or len(u) > max_bucket:
+            continue
+        for i in range(len(u)):
+            for j in range(i + 1, len(u)):
+                pairs.add((u[i], u[j]))
+    return pairs
+
+
+def _docs(table: pa.Table, text_col: str, id_col: str) -> list[tuple[int, str]]:
+    return list(zip(table[id_col].to_pylist(), [t or "" for t in table[text_col].to_pylist()]))
+
+
+# -- MinHash+LSH near-dup pairs ---------------------------------------------
+
+def run_minhash_pairs(
+    table: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    max_bucket: int = 200,
+) -> pa.Table:
+    """Sequential reference of dedup.minhash_lsh_pairs: banded MinHash
+    candidates + exact-Jaccard verify >= threshold."""
+    a, b = _perms(num_perm)
+    docs = _docs(table, text_col, id_col)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for did, text in docs:
+        for key in _band_keys(_signature(text, shingle_k, a, b), bands):
+            buckets.setdefault(key, []).append(did)
+    texts = dict(docs)
+    rows = []
+    for x, y in sorted(_bucket_pairs(buckets, max_bucket)):
+        sx = _verify_shingles(texts[x], shingle_k)
+        sy = _verify_shingles(texts[y], shingle_k)
+        u = len(sx | sy)
+        j = (len(sx & sy) / u) if u else 0.0
+        if j >= threshold:
+            rows.append((x, y, round(j, 4)))
+    return pa.table(
+        {
+            "a": pa.array([r[0] for r in rows], pa.int64()),
+            "b": pa.array([r[1] for r in rows], pa.int64()),
+            "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+# -- SimHash near-dup pairs --------------------------------------------------
+
+def _simhash(text: str) -> int:
+    """64-bit SimHash over whitespace tokens, weight = tf; stored as
+    the spec's int64 (value - 2^63)."""
+    toks = text.split()
+    if not toks:
+        return _to_i64(0 ^ (1 << 63))
+    weights: dict[str, int] = {}
+    for t in toks:
+        weights[t] = weights.get(t, 0) + 1
+    acc = [0] * 64
+    for t, w in weights.items():
+        h = _h64(t)
+        for i in range(64):
+            acc[i] += w if (h >> i) & 1 else -w
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return _to_i64(out ^ (1 << 63))
+
+
+def run_simhash_pairs(
+    table: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+    max_bucket: int = 200,
+) -> pa.Table:
+    """Sequential reference of dedup.simhash_pairs: 4x16-bit chunk
+    buckets + exact Hamming verify <= max_hamming."""
+    docs = _docs(table, text_col, id_col)
+    stored = {did: _simhash(text) for did, text in docs}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for did, sh in stored.items():
+        uh = (sh + (1 << 63)) & MASK64  # undo the -2^63 storage offset
+        for bi in range(4):
+            buckets.setdefault((bi, (uh >> (16 * bi)) & 0xFFFF), []).append(did)
+    rows = []
+    for x, y in sorted(_bucket_pairs(buckets, max_bucket)):
+        d = bin((stored[x] ^ stored[y]) & MASK64).count("1")
+        if d <= max_hamming:
+            rows.append((x, y, d))
+    return pa.table(
+        {
+            "a": pa.array([r[0] for r in rows], pa.int64()),
+            "b": pa.array([r[1] for r in rows], pa.int64()),
+            "hamming": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+# -- n-gram Jaccard top-k ----------------------------------------------------
+
+def run_ngram_topk(
+    table: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 20,
+    shingle_k: int = 4,
+    num_perm: int = 64,
+    bands: int = 32,
+    max_bucket: int = 200,
+) -> pa.Table:
+    """Sequential reference of dedup.ngram_jaccard_topk: the same
+    low-threshold banded candidate universe, exact Jaccard on ALL
+    candidates (no estimate prefilter — the engine's prefilter keeps a
+    provable superset of the top-k, so results must agree), global
+    top-k by (jaccard desc, a asc, b asc)."""
+    a, b = _perms(num_perm)
+    docs = _docs(table, text_col, id_col)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for did, text in docs:
+        for key in _band_keys(_signature(text, shingle_k, a, b), bands):
+            buckets.setdefault(key, []).append(did)
+    texts = dict(docs)
+    shingle_cache: dict[int, set] = {}
+
+    def sh(i: int) -> set:
+        s = shingle_cache.get(i)
+        if s is None:
+            s = shingle_cache[i] = _verify_shingles(texts[i], shingle_k)
+        return s
+
+    scored = []
+    for x, y in _bucket_pairs(buckets, max_bucket):
+        sx, sy = sh(x), sh(y)
+        u = len(sx | sy)
+        if u:
+            scored.append((round(len(sx & sy) / u, 4), x, y))
+    scored.sort(key=lambda r: (-r[0], r[1], r[2]))
+    top = scored[:k]
+    return pa.table(
+        {
+            "a": pa.array([r[1] for r in top], pa.int64()),
+            "b": pa.array([r[2] for r in top], pa.int64()),
+            "jaccard": pa.array([r[0] for r in top], pa.float64()),
+        }
+    )
+
+
+# -- embedding-space operators ----------------------------------------------
+
+def _vecs(table: pa.Table, vec_col: str, id_col: str) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(table[id_col].to_pylist(), dtype=np.int64)
+    m = np.array(table[vec_col].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, m / norms
+
+
+def _topk_rows(
+    qids: list[int], qm: np.ndarray, ids: np.ndarray, m: np.ndarray, k: int
+) -> pa.Table:
+    """Exact cosine top-k per query over (ids, m): the spec's
+    deterministic order (round(cos,4) desc, neighbor_id asc)."""
+    rows_q, rows_n, rows_c = [], [], []
+    for j, qid in enumerate(qids):
+        cos = np.round(m @ qm[j], 4)
+        order = np.lexsort((ids, -cos))[:k]
+        for i in order:
+            rows_q.append(qid)
+            rows_n.append(int(ids[i]))
+            rows_c.append(float(cos[i]))
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q, pa.int64()),
+            "neighbor_id": pa.array(rows_n, pa.int64()),
+            "cos": pa.array(rows_c, pa.float64()),
+        }
+    )
+
+
+def run_knn_lsh(
+    table: pa.Table,
+    queries: pa.Table,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nbits: int = 4,
+    ntables: int = 16,
+) -> pa.Table:
+    """Sequential reference of annsearch.knn_lsh: random-hyperplane
+    buckets (MSB-first bit code, per-table seed 1000+t), candidates =
+    vectors sharing any query bucket, exact rescore."""
+    ids, m = _vecs(table, vec_col, id_col)
+    qids = queries[id_col].to_pylist()
+    _, qm = _vecs(queries, vec_col, id_col)
+    msb = 1 << np.arange(nbits - 1, -1, -1)
+    keep = np.zeros(len(ids), dtype=bool)
+    for t in range(ntables):
+        planes = np.random.default_rng(1000 + t).standard_normal((nbits, m.shape[1]))
+        qcodes = {int(c) for c in ((qm @ planes.T) > 0).dot(msb)}
+        codes = ((m @ planes.T) > 0).dot(msb)
+        keep |= np.isin(codes, list(qcodes))
+    sel = np.flatnonzero(keep)
+    return _topk_rows(qids, qm, ids[sel], m[sel], k)
+
+
+def run_knn_ivf(
+    table: pa.Table,
+    queries: pa.Table,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    ncells: int = 16,
+    nprobe: int = 4,
+    sample_n: int = 2048,
+    iters: int = 10,
+    seed: int = 5,
+) -> pa.Table:
+    """Sequential reference of annsearch.knn_ivf: seeded spherical
+    k-means over the first sample_n rows, probed-cell filter, exact
+    rescore."""
+    ids, m = _vecs(table, vec_col, id_col)
+    qids = queries[id_col].to_pylist()
+    _, qm = _vecs(queries, vec_col, id_col)
+    sample = m[:sample_n]
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(ncells, len(sample)), replace=False)
+    c = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = (sample @ c.T).argmax(axis=1)
+        sums = np.zeros_like(c)
+        np.add.at(sums, assign, sample)
+        counts = np.bincount(assign, minlength=len(c)).astype(np.float64)
+        ne = counts > 0
+        c[ne] = sums[ne] / counts[ne, None]
+        norms = np.linalg.norm(c, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        c = c / norms
+    probe: set[int] = set()
+    for j in range(qm.shape[0]):
+        for cell in np.argsort(-(qm[j] @ c.T))[:nprobe]:
+            probe.add(int(cell))
+    assign = (m @ c.T).argmax(axis=1)
+    sel = np.flatnonzero(np.isin(assign, list(probe)))
+    return _topk_rows(qids, qm, ids[sel], m[sel], k)
+
+
+def run_cosine_dup_pairs(
+    table: pa.Table,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    nbits: int = 6,
+    ntables: int = 12,
+    max_bucket: int = 500,
+) -> pa.Table:
+    """Sequential reference of annsearch.cosine_dup_pairs: hyperplane
+    buckets (LSB-first bit code), candidate pairs, exact cosine verify
+    >= threshold."""
+    ids, m = _vecs(table, vec_col, id_col)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    lsb = 1 << np.arange(nbits)
+    for t in range(ntables):
+        planes = np.random.default_rng(1000 + t).standard_normal((nbits, m.shape[1]))
+        codes = ((m @ planes.T) > 0).dot(lsb)
+        for i, code in enumerate(codes):
+            buckets.setdefault((t, int(code)), []).append(int(ids[i]))
+    pos = {int(v): i for i, v in enumerate(ids)}
+    rows = []
+    for x, y in sorted(_bucket_pairs(buckets, max_bucket)):
+        cos = float(m[pos[x]] @ m[pos[y]])
+        if cos >= threshold:
+            rows.append((x, y, round(cos, 4)))
+    return pa.table(
+        {
+            "a": pa.array([r[0] for r in rows], pa.int64()),
+            "b": pa.array([r[1] for r in rows], pa.int64()),
+            "cos": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )

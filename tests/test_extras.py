@@ -284,6 +284,17 @@ def test_r1_golden_equivalence(ray_session):
         df = t.to_pandas() if not isinstance(t, pd.DataFrame) else t
         return df.sort_values(list(df.columns), ignore_index=True)[sorted(df.columns)]
 
+    # round-3: the same runs must also equal the INDEPENDENT
+    # sequential references (reference_impl/sketch.py) via the
+    # committed sf001_* goldens backing the DuckDB oracles.
+    r3_gold = {
+        "dedup_minhash_docs": "sf001_dedup_minhash",
+        "dedup_simhash_docs": "sf001_dedup_simhash",
+        "ngram_jaccard_topk": "sf001_ngram_topk",
+        "embedding_dup_pairs": "sf001_embedding_dup_pairs",
+        "knn_lsh": "sf001_knn_lsh",
+        "knn_ivf": "sf001_knn_ivf",
+    }
     sf = "/root/testdata/sf0.01"
     for name in [
         "dedup_minhash_docs",
@@ -291,12 +302,18 @@ def test_r1_golden_equivalence(ray_session):
         "ngram_jaccard_topk",
         "embedding_dup_pairs",
         "knn_lsh",
+        "knn_ivf",
     ]:
         res = queries.QUERIES[name](sf)
         if not isinstance(res, pa.Table):
             res = pa.Table.from_pandas(res.to_pandas(), preserve_index=False)
-        gold = pq.read_table(f"tests/golden/r1_{name}.parquet")
-        assert canon(res).equals(canon(gold)), name
+        if name != "knn_ivf":  # no r1 golden for knn_ivf
+            gold = pq.read_table(f"tests/golden/r1_{name}.parquet")
+            assert canon(res).equals(canon(gold)), name
+        gold3 = pq.read_table(f"tests/golden/{r3_gold[name]}.parquet")
+        a, b = canon(res), canon(gold3)
+        assert list(a.columns) == list(b.columns), name
+        assert a.astype(str).equals(b.astype(str)), f"{name} vs sketch reference"
 
 
 def test_textstats_oracle_adversarial(ray_session):

@@ -29,13 +29,29 @@ GOLDEN_DIR = os.path.join(
 )
 
 
+SF001 = "/root/testdata/sf0.01"
+
+
+def _write(name: str, table) -> None:
+    path = os.path.join(GOLDEN_DIR, f"{name}.parquet")
+    if os.path.exists(path) and pq.read_table(path).equals(table):
+        print(f"{name}: unchanged ({table.num_rows} rows)")
+        return
+    pq.write_table(table, path)
+    print(f"{name}: wrote {table.num_rows} rows -> {path}")
+
+
 def main() -> None:
+    import numpy as np
+    import pyarrow as pa
+
     from kgray import fixtures
     from reference_impl import (
         run_canonical,
         run_canonical_fuzzy,
         run_mentions,
         run_oracle,
+        sketch,
     )
 
     corpus = pq.read_table(fixtures.corpus_path("smoke"))
@@ -47,12 +63,24 @@ def main() -> None:
         ("smoke_mentions", run_mentions(corpus)),
         ("smoke_canonical", run_canonical(corpus, vocab)),
     ]:
-        path = os.path.join(GOLDEN_DIR, f"{name}.parquet")
-        if os.path.exists(path) and pq.read_table(path).equals(table):
-            print(f"{name}: unchanged ({table.num_rows} rows)")
-            continue
-        pq.write_table(table, path)
-        print(f"{name}: wrote {table.num_rows} rows -> {path}")
+        _write(name, table)
+
+    # sketch/ANN goldens: sequential references over the driver's
+    # sf0.01 testdata tables (the correctness scale these oracles
+    # serve; reference_impl/sketch.py docstring)
+    docs = pq.read_table(f"{SF001}/documents.parquet", columns=["doc_id", "text"])
+    emb = pq.read_table(f"{SF001}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(emb["vec_id"].to_pylist())
+    queries = emb.filter(pa.array(ids % 100 == 0))
+    for name, table in [
+        ("sf001_dedup_minhash", sketch.run_minhash_pairs(docs)),
+        ("sf001_dedup_simhash", sketch.run_simhash_pairs(docs)),
+        ("sf001_ngram_topk", sketch.run_ngram_topk(docs)),
+        ("sf001_knn_lsh", sketch.run_knn_lsh(emb, queries)),
+        ("sf001_knn_ivf", sketch.run_knn_ivf(emb, queries)),
+        ("sf001_embedding_dup_pairs", sketch.run_cosine_dup_pairs(emb)),
+    ]:
+        _write(name, table)
 
 
 if __name__ == "__main__":
