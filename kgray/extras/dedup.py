@@ -30,6 +30,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
@@ -536,6 +537,73 @@ def minhash_lsh_pairs(
         ),
         sort_by=["a", "b"],
     )
+
+
+def connected_components(pairs: pa.Table) -> dict[int, int]:
+    """id -> component-minimum label via union-find over a verified
+    near-dup pair table. The pair table is BOUNDED by construction
+    (minhash_lsh_pairs collects only verified pairs — O(duplicates),
+    not O(corpus)); the union-find is O(|pairs| α)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    a_ids = pairs["a"].to_pylist()
+    b_ids = pairs["b"].to_pylist()
+    nodes: set[int] = set(a_ids) | set(b_ids)
+    for x, y in zip(a_ids, b_ids):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # attach the larger root under the smaller one, so every
+            # root IS its component's minimum id
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    return {x: find(x) for x in nodes}
+
+
+def minhash_dedup_docs(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> Dataset:
+    """Near-duplicate REMOVAL (the training-data pipeline's actual
+    dedup step, on top of the pair detector): MinHash+LSH pairs ->
+    connected components -> keep only each component's minimum id.
+
+    Scale shape: the expensive part (pair detection) is the existing
+    distributed pipeline; the component labels live on the bounded
+    verified-pair set (driver union-find); the removal id set — only
+    non-minimum members of dup clusters, ≪ corpus — broadcasts once
+    (`ray.put`) and the corpus is filtered map-side. Nothing
+    corpus-sized leaves the workers."""
+    import ray as _ray
+
+    pairs = minhash_lsh_pairs(
+        ds, text_col, id_col,
+        threshold=threshold, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+    )
+    labels = connected_components(pairs)
+    drop = sorted(x for x, root in labels.items() if root != x)
+    dropref = _ray.put(pa.array(drop, type=pa.int64()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch[id_col], value_set=_ray.get(dropref)))
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_size=None, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

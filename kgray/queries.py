@@ -1235,6 +1235,24 @@ ORACLE_SQL.update(
 )
 
 
+def q_dedup_remove_docs(sf_dir: str):
+    """Near-duplicate REMOVAL over documents: MinHash+LSH pairs ->
+    connected components -> keep each component's minimum doc_id
+    (dedup.minhash_dedup_docs). The oracle computes the components in
+    SQL (recursive CTE min-label propagation) from the independent
+    sequential reference's pair golden."""
+    from . import pipeline
+    from .extras import dedup
+
+    with pipeline.hash_shuffle_ctx():
+        ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+        out = dedup.minhash_dedup_docs(ds, "text", "doc_id", threshold=0.5)
+        return out.select_columns(["doc_id", "n_chars"])
+
+
+QUERIES["dedup_remove_docs"] = q_dedup_remove_docs
+
+
 # The sketch/ANN family's goldens come from reference_impl/sketch.py —
 # sequential dict-and-loop implementations of each operator's spec
 # (hash family + banding + exact verify) over the driver's sf0.01
@@ -1255,5 +1273,23 @@ ORACLE_SQL.update(
         f"FROM read_parquet('{_GOLDEN_DIR}/sf001_knn_ivf.parquet')",
         "embedding_dup_pairs": "SELECT a, b, cos "
         f"FROM read_parquet('{_GOLDEN_DIR}/sf001_embedding_dup_pairs.parquet')",
+        # components computed IN SQL (recursive min-label propagation)
+        # from the reference pair golden; removal joins the live view
+        "dedup_remove_docs": f"""
+WITH RECURSIVE sym AS (
+  SELECT a AS src, b AS tgt
+  FROM read_parquet('{_GOLDEN_DIR}/sf001_dedup_minhash.parquet')
+  UNION ALL
+  SELECT b, a FROM read_parquet('{_GOLDEN_DIR}/sf001_dedup_minhash.parquet')
+),
+comp(id, lbl) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.tgt, c.lbl FROM comp c JOIN sym s ON s.src = c.id
+),
+drops AS (SELECT id FROM comp GROUP BY id HAVING MIN(lbl) < id)
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM drops)
+""",
     }
 )

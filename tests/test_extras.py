@@ -381,3 +381,36 @@ def test_multimodal_plumbing(ray_session):
     assert not out["decode_ok"].iloc[0]
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNGxxxx", "png")
+
+
+def test_connected_components_and_dedup_remove(ray_session):
+    """Union-find labels (root = component min) and the map-side
+    removal filter built on them (dedup.minhash_dedup_docs)."""
+    from kgray.extras import dedup
+
+    # two components: {1,2,3} (a chain) and {10, 20}; 7 untouched
+    pairs = pa.table(
+        {
+            "a": pa.array([2, 1, 10], type=pa.int64()),
+            "b": pa.array([3, 2, 20], type=pa.int64()),
+        }
+    )
+    labels = dedup.connected_components(pairs)
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 20: 10}
+
+    # end-to-end removal on a corpus with exact near-dups: doc 0/1/2
+    # share a text (one survivor: 0), 3 and 4 unique
+    texts = ["the quick brown fox jumps over the lazy dog"] * 3 + [
+        "completely different content here",
+        "another unrelated document body",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(5), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    out = dedup.minhash_dedup_docs(ds, "text", "doc_id").to_pandas()
+    assert sorted(out["doc_id"]) == [0, 3, 4]
