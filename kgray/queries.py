@@ -1253,6 +1253,117 @@ def q_dedup_remove_docs(sf_dir: str):
 QUERIES["dedup_remove_docs"] = q_dedup_remove_docs
 
 
+def q_doc_salient_terms(sf_dir: str):
+    """X26: per-doc salient terms (a TF-IDF variant): tf over
+    whitespace tokens, global document frequency, score = tf/df —
+    rational arithmetic whose IEEE division rounds identically in
+    numpy/arrow and DuckDB, so the oracle bit-matches with no cents
+    trick — top-3 terms per doc by (score desc, token asc).
+
+    Plan shape (scale-first): vectorized explode
+    (utf8_split_whitespace + list_flatten/parent_indices; a doc never
+    spans batches so tf is exact in-batch), two-phase df groupby
+    (per-batch partial counts, then a vocab-sized merge), the df table
+    broadcast once below ops.BROADCAST_MAX_KEYS (hash join above),
+    per-group top-k via ops.group_topk."""
+    import ray as _ray
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_batch(b: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(b["text"].combine_chunks())
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        t = pa.table({"i": parent, "token": flat}).filter(pc.not_equal(flat, ""))
+        g = t.group_by(["i", "token"]).aggregate([("i", "count")])
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].combine_chunks().take(g["i"]),
+                "token": g["token"],
+                "tf": g["i_count"],
+            }
+        )
+
+    tf_ds = ds.map_batches(tf_batch, batch_format="pyarrow")
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("token").aggregate([("doc_id", "count")])
+        return pa.table({"token": g["token"], "df_part": g["doc_id_count"]})
+
+    df_ds = (
+        tf_ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(_Sum("df_part", alias_name="df"))
+        .materialize()  # vocab-sized, reused by the gate and the join
+    )
+    n_vocab = df_ds.count()
+
+    if n_vocab <= ops.BROADCAST_MAX_KEYS:
+        vocab_tbl = ops.collect_table(
+            df_ds, schema=pa.schema([("token", pa.string()), ("df", pa.int64())])
+        )
+        vref = _ray.put(
+            (vocab_tbl["token"].combine_chunks(), vocab_tbl["df"].combine_chunks())
+        )
+
+        def score_bcast(b: pa.Table) -> pa.Table:
+            vtok, vdf = _ray.get(vref)
+            pos = pc.index_in(b["token"].combine_chunks(), value_set=vtok)
+            dfv = vdf.take(pos)
+            score = pc.divide(
+                pc.cast(b["tf"], pa.float64()), pc.cast(dfv, pa.float64())
+            )
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "token": b["token"],
+                    "tf": b["tf"],
+                    "df": dfv,
+                    "score": score,
+                }
+            )
+
+        scored = tf_ds.map_batches(score_bcast, batch_format="pyarrow")
+    else:
+        joined = ops.hash_join(tf_ds, df_ds, on=("token",), right_on=("token",))
+
+        def score_joined(b: pa.Table) -> pa.Table:
+            score = pc.divide(
+                pc.cast(b["tf"], pa.float64()), pc.cast(b["df"], pa.float64())
+            )
+            return b.select(["doc_id", "token", "tf", "df"]).append_column(
+                "score", score
+            )
+
+        scored = joined.map_batches(score_joined, batch_format="pyarrow")
+
+    top = ops.group_topk(scored, "doc_id", ["score", "token"], 3, [False, True])
+    return top.select_columns(["doc_id", "token", "tf", "df", "score", "rn"])
+
+
+SQL_DOC_SALIENT_TERMS = """
+WITH toks AS (
+  SELECT doc_id, t.tok AS token
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t(tok)
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df, tf.tf / df.df AS score,
+         ROW_NUMBER() OVER (
+             PARTITION BY tf.doc_id
+             ORDER BY tf.tf / df.df DESC, tf.token ASC) AS rn
+  FROM tf JOIN df USING (token)
+)
+SELECT doc_id, token, tf, df, score, rn FROM scored WHERE rn <= 3
+"""
+
+QUERIES["doc_salient_terms"] = q_doc_salient_terms
+ORACLE_SQL["doc_salient_terms"] = SQL_DOC_SALIENT_TERMS
+
+
 # The sketch/ANN family's goldens come from reference_impl/sketch.py —
 # sequential dict-and-loop implementations of each operator's spec
 # (hash family + banding + exact verify) over the driver's sf0.01
