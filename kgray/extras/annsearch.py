@@ -247,6 +247,24 @@ def knn_lsh(
     return knn_brute(sub, queries, vec_col=vec_col, id_col=id_col, k=k)
 
 
+def _quantizer_sample(
+    ds: Dataset, vec_col: str, id_col: str, sample_n: int
+) -> np.ndarray:
+    """Deterministic (sample_n, d) normalized quantizer input: the
+    first sample_n rows BY ID. `collect_table` concatenates blocks in
+    completion order, so collecting vectors alone makes the sample's
+    row order — and therefore the seeded k-means — depend on the
+    session's block layout (observed: a cold session produced a
+    different knn_ivf top-k). Sorting by the id column pins it."""
+    proj = ds.limit(sample_n).select_columns([id_col, vec_col])
+    vec_type = proj.schema().base_schema.field(vec_col).type
+    tbl = ops.collect_table(
+        proj, schema=pa.schema([(id_col, pa.int64()), (vec_col, vec_type)])
+    )
+    order = pa.array(np.argsort(tbl[id_col].to_numpy(), kind="stable"))
+    return _normalize(_to_matrix(tbl[vec_col].combine_chunks().take(order)))
+
+
 def kmeans_centroids(
     sample: np.ndarray, ncells: int, *, iters: int = 10, seed: int = 5
 ) -> np.ndarray:
@@ -287,10 +305,7 @@ def knn_ivf(
     production scale the cell assignment would be precomputed and the
     table partitioned by cell; recall measured vs brute force in
     tests."""
-    proj = ds.limit(sample_n).select_columns([vec_col])
-    vec_type = proj.schema().base_schema.field(vec_col).type
-    sample_tbl = ops.collect_table(proj, schema=pa.schema([(vec_col, vec_type)]))
-    sample = _normalize(_to_matrix(sample_tbl[vec_col]))
+    sample = _quantizer_sample(ds, vec_col, id_col, sample_n)
     cents = kmeans_centroids(sample, ncells)
     qm = _normalize(_to_matrix(queries[vec_col]))
     probe = set()
@@ -312,6 +327,86 @@ def knn_ivf(
         return batch.filter(pa.array(keep))
 
     sub = ds.map_batches(cell_filter, batch_size=None, batch_format="pyarrow")
+    return knn_brute(sub, queries, vec_col=vec_col, id_col=id_col, k=k)
+
+
+def ivf_index_build(
+    ds: Dataset,
+    out_dir: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ncells: int = 16,
+    nprobe: int = 4,  # recorded for the reader; search may override
+    sample_n: int = 2048,
+) -> dict:
+    """Materialize the IVF production path `knn_ivf`'s docstring
+    promises: the corpus written as parquet PARTITIONED BY CELL (one
+    hive directory per coarse cell) plus the centroid matrix, so
+    search reads ONLY the probed cells' files — pruning at the read
+    instead of filtering a full scan. Same quantizer as `knn_ivf`
+    (seeded spherical k-means over the first `sample_n` rows), so the
+    two return identical results for the same parameters."""
+    import os
+
+    cents = kmeans_centroids(
+        _quantizer_sample(ds, vec_col, id_col, sample_n), ncells
+    )
+    cref = ray.put(cents)
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(batch[vec_col]))
+        assign = (m @ ray.get(cref).T).argmax(axis=1)
+        return batch.append_column(
+            "cell", pa.array(assign.astype(np.int32), type=pa.int32())
+        )
+
+    ds.map_batches(add_cell, batch_size=None, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["cell"]
+    )
+    np.save(os.path.join(out_dir, "_centroids.npy"), cents)
+    return {"out_dir": out_dir, "ncells": int(len(cents)), "nprobe": nprobe}
+
+
+def knn_ivf_indexed(
+    index_dir: str,
+    queries: pa.Table,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 4,
+    stats: dict | None = None,
+) -> pa.Table:
+    """Search a built IVF index: probe cells per query against the
+    saved centroids, `read_parquet` ONLY the probed `cell=` directories
+    (column-pruned), exact rescore. Equal to `knn_ivf` on the same
+    corpus/parameters (asserted in tests) — the difference is purely
+    physical: non-probed cells are never read from storage."""
+    import os
+
+    import ray.data as rd
+
+    cents = np.load(os.path.join(index_dir, "_centroids.npy"))
+    qm = _normalize(_to_matrix(queries[vec_col]))
+    probe: set[int] = set()
+    for j in range(qm.shape[0]):
+        for cell in np.argsort(-(qm[j] @ cents.T))[:nprobe]:
+            probe.add(int(cell))
+    cell_dirs = [
+        os.path.join(index_dir, f"cell={c}")
+        for c in sorted(probe)
+        if os.path.isdir(os.path.join(index_dir, f"cell={c}"))
+    ]
+    paths = [
+        os.path.join(d, f)
+        for d in cell_dirs
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if stats is not None:
+        stats.update({"n_cells_probed": len(cell_dirs), "n_cells_total": len(cents)})
+    sub = rd.read_parquet(paths, columns=[id_col, vec_col])
     return knn_brute(sub, queries, vec_col=vec_col, id_col=id_col, k=k)
 
 

@@ -627,6 +627,22 @@ def q_knn_ivf(sf_dir: str):
     return annsearch.knn_ivf(ds, _query_vectors(sf_dir), k=10)
 
 
+def q_knn_ivf_indexed(sf_dir: str):
+    """X21 production path made physical: build the cell-partitioned
+    IVF index under /tmp, then search by reading ONLY the probed
+    `cell=` directories (prune at the read). Identical results to
+    `knn_ivf` by construction — the oracle is the same independent
+    sketch-reference golden."""
+    import tempfile
+
+    from .extras import annsearch
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    idx = tempfile.mkdtemp(prefix="kgray_ivf_", dir="/tmp")
+    annsearch.ivf_index_build(ds, idx)
+    return annsearch.knn_ivf_indexed(idx, _query_vectors(sf_dir))
+
+
 def q_embedding_dup_pairs(sf_dir: str):
     from . import pipeline
     from .extras import annsearch
@@ -838,6 +854,7 @@ QUERIES.update(
         "knn_search": q_knn_search,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_indexed": q_knn_ivf_indexed,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "langid_docs": q_langid_docs,
         "doc_quality": q_doc_quality,
@@ -1381,6 +1398,9 @@ ORACLE_SQL.update(
         "knn_lsh": "SELECT query_id, neighbor_id, cos "
         f"FROM read_parquet('{_GOLDEN_DIR}/sf001_knn_lsh.parquet')",
         "knn_ivf": "SELECT query_id, neighbor_id, cos "
+        f"FROM read_parquet('{_GOLDEN_DIR}/sf001_knn_ivf.parquet')",
+        # the indexed variant returns identical results by construction
+        "knn_ivf_indexed": "SELECT query_id, neighbor_id, cos "
         f"FROM read_parquet('{_GOLDEN_DIR}/sf001_knn_ivf.parquet')",
         "embedding_dup_pairs": "SELECT a, b, cos "
         f"FROM read_parquet('{_GOLDEN_DIR}/sf001_embedding_dup_pairs.parquet')",

@@ -337,12 +337,14 @@ def run_knn_ivf(
     seed: int = 5,
 ) -> pa.Table:
     """Sequential reference of annsearch.knn_ivf: seeded spherical
-    k-means over the first sample_n rows, probed-cell filter, exact
-    rescore."""
+    k-means over the first sample_n table rows RE-SORTED by id (the
+    engine pins the collected quantizer sample to id order so it is
+    block-layout-independent), probed-cell filter, exact rescore."""
     ids, m = _vecs(table, vec_col, id_col)
     qids = queries[id_col].to_pylist()
     _, qm = _vecs(queries, vec_col, id_col)
-    sample = m[:sample_n]
+    head_ids = ids[:sample_n]
+    sample = m[:sample_n][np.argsort(head_ids, kind="stable")]
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(sample), size=min(ncells, len(sample)), replace=False)
     c = sample[np.sort(idx)].copy()

@@ -414,3 +414,28 @@ def test_connected_components_and_dedup_remove(ray_session):
     )
     out = dedup.minhash_dedup_docs(ds, "text", "doc_id").to_pandas()
     assert sorted(out["doc_id"]) == [0, 3, 4]
+
+
+def test_knn_ivf_indexed_equals_unindexed(ray_session, tmp_path):
+    """The cell-partitioned on-disk IVF index must return exactly the
+    in-flight knn_ivf result while reading only probed cell dirs."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from kgray.extras.annsearch import ivf_index_build, knn_ivf, knn_ivf_indexed
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ds = ray.data.from_arrow(t)
+    queries = t.slice(0, 5)
+    idx = str(tmp_path / "ivf")
+    info = ivf_index_build(ds, idx, ncells=8)
+    assert info["ncells"] == 8
+    stats: dict = {}
+    indexed = knn_ivf_indexed(idx, queries, k=10, nprobe=3, stats=stats)
+    plain = knn_ivf(ds, queries, k=10, ncells=8, nprobe=3)
+    assert indexed.equals(plain)
+    # physical pruning: fewer cell dirs read than exist on disk
+    n_dirs = sum(1 for d in os.listdir(idx) if d.startswith("cell="))
+    assert n_dirs == 8
+    assert 0 < stats["n_cells_probed"] < n_dirs, stats
