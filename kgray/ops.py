@@ -692,3 +692,72 @@ def group_topk(
         return out
 
     return ds.groupby(group_key).map_groups(per_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# O3 (scale form): deterministic content-hash sampling
+
+SAMPLE_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (vectorized uint64; numpy wraparound is
+    the defined behavior — deterministic across processes)."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def seeded_sample(
+    ds: Dataset, key_col: str, *, num: int = 1, den: int = 20, seed: int = 42
+) -> Dataset:
+    """Deterministic hash sampling: keep a row iff
+    splitmix64(key XOR seed) < (num/den) * 2^64.
+
+    Unlike ``ds.random_sample`` (whose membership depends on the
+    session's block layout), the sample is a pure function of the key:
+    identical across cluster sizes and re-runs (resumable — a restart
+    keeps exactly the same rows), and exactly expressible in SQL
+    (DuckDB HUGEINT splitmix64), so the operator is oracle-checkable.
+    The threshold is exact integer arithmetic — no float rate."""
+    thresh = np.uint64((1 << 64) * num // den)
+    sd = np.uint64(seed)
+
+    def f(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].combine_chunks().to_numpy().astype(np.int64).view(np.uint64)
+        keep = _mix64(k ^ sd) < thresh
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_size=None, batch_format="pyarrow")
+
+
+def seeded_sample_sql(
+    table_sql: str, key_col: str, out_cols: list[str],
+    *, num: int = 1, den: int = 20, seed: int = 42,
+) -> str:
+    """The DuckDB-equivalent of `seeded_sample` (HUGEINT splitmix64 —
+    bit-identical to the numpy kernel; prototype-verified)."""
+    thresh = (1 << 64) * num // den
+    cols = ", ".join(out_cols)
+
+    def mul64(expr: str, const: int) -> str:
+        # (expr * const) mod 2^64 without overflowing signed INT128:
+        # split expr into 32-bit halves (each partial product < 2^96)
+        lo = f"(({expr} % 4294967296::UBIGINT)::HUGEINT * {const}::HUGEINT)"
+        hi = f"((({expr} >> 32)::HUGEINT * {const}::HUGEINT) % 4294967296::HUGEINT)"
+        return (
+            f"((({lo} % 18446744073709551616::HUGEINT) + {hi} * 4294967296::HUGEINT)"
+            " % 18446744073709551616::HUGEINT)::UBIGINT"
+        )
+
+    m1 = mul64("xor(x0, x0 >> 30)", 0xBF58476D1CE4E5B9)
+    m2 = mul64("xor(x1, x1 >> 27)", 0x94D049BB133111EB)
+    return f"""
+WITH s AS (
+  SELECT {cols}, xor({key_col}::UBIGINT, {seed}::UBIGINT) AS x0 FROM {table_sql}
+),
+s1 AS (SELECT *, {m1} AS x1 FROM s),
+s2 AS (SELECT *, {m2} AS x2 FROM s1)
+SELECT {cols} FROM s2
+WHERE xor(x2, x2 >> 31) < {thresh}::UBIGINT
+"""

@@ -1096,6 +1096,15 @@ def q_sample_orders(sf_dir: str):
     return ds.random_sample(0.05, seed=42)
 
 
+def q_sample_orders_det(sf_dir: str):
+    """O3 scale form: deterministic content-hash 5% sample
+    (ops.seeded_sample) — membership is a pure function of the key, so
+    the sample is identical across cluster sizes / re-runs (resumable)
+    and exactly SQL-expressible (HUGEINT splitmix64 oracle)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ops.seeded_sample(ds, "o_orderkey", num=1, den=20, seed=42)
+
+
 def q_kg_stats(sf_dir: str):
     """A2 over the KG output: triples per predicate (statistics.py
     parity, SURVEY §2.5). The predicate vocabulary is tiny (6 values),
@@ -1139,8 +1148,13 @@ QUERIES.update(
         "custkeys_without_events": q_custkeys_without_events,
         "priority_top3_orders": q_priority_top3_orders,
         "sample_orders": q_sample_orders,
+        "sample_orders_det": q_sample_orders_det,
         "kg_stats": q_kg_stats,
     }
+)
+
+ORACLE_SQL["sample_orders_det"] = ops.seeded_sample_sql(
+    "orders", "o_orderkey", ["o_orderkey", "o_totalprice"], num=1, den=20, seed=42
 )
 
 ORACLE_SQL.update(
