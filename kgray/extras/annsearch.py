@@ -234,12 +234,15 @@ def knn_lsh(
             }
         )
 
-    joined = ops.hash_join(
-        ds.map_batches(pack, batch_format="pyarrow"),
-        cand_ids,
-        on=(id_col,),
-        right_on=(id_col,),
-        num_partitions=8,
+    joined = ops.normalize_blocks(
+        ops.hash_join(
+            ds.map_batches(pack, batch_format="pyarrow"),
+            cand_ids,
+            on=(id_col,),
+            right_on=(id_col,),
+            num_partitions=8,
+        ),
+        pa.schema([(id_col, pa.int64()), ("_embbin", pa.binary())]),
     )
     sub = joined.map_batches(unpack, batch_format="pyarrow")
     if stats is not None:

@@ -466,11 +466,34 @@ def join_pair_payload(
             batch_format="pyarrow",
         )
 
-    j1 = ops.hash_join(
-        pairs, side("_a"), on=("a",), right_on=(id_col,), num_partitions=num_partitions
+    # Two mitigations for ray 2.49 JoinOperator flakiness on empty /
+    # zero-block partitions (reproduced ~1/15 runs at 7-doc scale:
+    # "No match ... for FieldRef.Name(b) on left side"):
+    # 1. size-adapt the partition count so no partition is key-starved
+    #    (join keys are doc ids, so bound partitions by ~64 ids each —
+    #    a partition that receives zero LEFT rows can hit a finalize
+    #    race inside Ray's join, which no input normalization can fix);
+    # 2. ops.normalize_blocks pins each join's OUTPUT schema so a
+    #    malformed empty block can't poison the chained second join.
+    n_ids = payload_rows if payload_rows is not None else proj.count()
+    num_partitions = max(1, min(num_partitions, n_ids // 64))
+    ptype = proj.schema().base_schema.field(payload_col).type
+    sch1 = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), (f"{payload_col}_a", ptype)]
     )
-    return ops.hash_join(
-        j1, side("_b"), on=("b",), right_on=(id_col,), num_partitions=num_partitions
+    j1 = ops.normalize_blocks(
+        ops.hash_join(
+            pairs, side("_a"), on=("a",), right_on=(id_col,),
+            num_partitions=num_partitions,
+        ),
+        sch1,
+    )
+    return ops.normalize_blocks(
+        ops.hash_join(
+            j1, side("_b"), on=("b",), right_on=(id_col,),
+            num_partitions=num_partitions,
+        ),
+        sch1.append(pa.field(f"{payload_col}_b", ptype)),
     )
 
 

@@ -79,6 +79,16 @@ def _drop_null_keys(ds: Dataset, key: str) -> Dataset:
     )
 
 
+def _arrow_schema_or_none(ds: Dataset):
+    """Best-effort pa.Schema of a dataset (may execute a small plan
+    fragment; used only on size-gated production paths)."""
+    try:
+        sch = ds.schema()
+        return sch.base_schema if sch is not None else None
+    except Exception:
+        return None
+
+
 def semi_join(
     left: Dataset,
     key: str,
@@ -105,13 +115,17 @@ def semi_join(
     left_nn = _drop_null_keys(left, key)
     if keys_ds.count() <= broadcast_max_keys:
         return semi_join_filter(left_nn, key, set(keys_ds.unique(right_key)))
-    return left_nn.join(
+    out = left_nn.join(
         keys_ds,
         join_type="left_semi",
         num_partitions=num_partitions,
         on=(key,),
         right_on=(right_key,),
     )
+    # pin block schemas: ray 2.49's join can finalize an empty
+    # partition as a zero-column block (see normalize_blocks)
+    sch = _arrow_schema_or_none(left)
+    return normalize_blocks(out, sch) if sch is not None else out
 
 
 def anti_join(
@@ -132,13 +146,15 @@ def anti_join(
     left_nn = _drop_null_keys(left, key)
     if keys_ds.count() <= broadcast_max_keys:
         return anti_join_filter(left_nn, key, set(keys_ds.unique(right_key)))
-    return left_nn.join(
+    out = left_nn.join(
         keys_ds,
         join_type="left_anti",
         num_partitions=num_partitions,
         on=(key,),
         right_on=(right_key,),
     )
+    sch = _arrow_schema_or_none(left)
+    return normalize_blocks(out, sch) if sch is not None else out
 
 
 def hash_join(
@@ -157,6 +173,26 @@ def hash_join(
         on=on,
         right_on=right_on,
     )
+
+
+def normalize_blocks(ds: Dataset, schema: pa.Schema) -> Dataset:
+    """Pin every block to `schema` (column set + order).
+
+    Ray 2.49's JoinOperator OCCASIONALLY finalizes an empty partition
+    as a ZERO-COLUMN block (observed ~1/15 runs at small scale:
+    "No match ... for FieldRef.Name(b) on left side" when such a
+    block feeds a second join, or KeyError in a downstream
+    map_batches). Empty blocks are replaced with a correctly-typed
+    empty table; non-empty blocks are column-projected to the expected
+    order (metadata-only)."""
+    empty = schema.empty_table()
+
+    def f(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        return b.select(schema.names)
+
+    return ds.map_batches(f, batch_size=None, batch_format="pyarrow")
 
 
 def salted_groupby(

@@ -131,12 +131,21 @@ def q_segment_orders(sf_dir: str):
         )
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    joined = ops.hash_join(
-        orders.map_batches(prep, batch_format="pyarrow"),
-        cust,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-        num_partitions=NUM_JOIN_PARTITIONS,
+    joined = ops.normalize_blocks(
+        ops.hash_join(
+            orders.map_batches(prep, batch_format="pyarrow"),
+            cust,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+            num_partitions=NUM_JOIN_PARTITIONS,
+        ),
+        pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("total_cents", pa.int64()),
+                ("c_mktsegment", pa.string()),
+            ]
+        ),
     )
     return ops.grouped_sum_count(
         joined,
@@ -144,6 +153,75 @@ def q_segment_orders(sf_dir: str):
         sums=[("total_cents", "sum_total_cents")],
         count_alias="n_orders",
     )
+
+
+def q_orders_nation_leftjoin(sf_dir: str):
+    """J2 outer variant: LEFT OUTER hash join — big orders kept even
+    when their customer's nation is filtered out of the right side
+    (unmatched rows carry NULL n_name). Distributed Ray-native join;
+    per-nation counts so the result is small and NULL-bearing."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.greater(b["o_totalprice"], 400000.0)).drop_columns(
+            ["o_totalprice"]
+        ),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nation = nation.map_batches(
+        lambda b: b.filter(pc.less(b["n_nationkey"], 10)), batch_format="pyarrow"
+    )
+    j1 = ops.normalize_blocks(
+        ops.hash_join(
+            orders, cust, on=("o_custkey",), right_on=("c_custkey",),
+            num_partitions=NUM_JOIN_PARTITIONS,
+        ),
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("c_nationkey", pa.int64()),
+            ]
+        ),
+    )
+    j2 = ops.normalize_blocks(
+        ops.hash_join(
+            j1, nation, on=("c_nationkey",), right_on=("n_nationkey",),
+            join_type="left_outer", num_partitions=NUM_JOIN_PARTITIONS,
+        ),
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("c_nationkey", pa.int64()),
+                ("n_name", pa.string()),
+            ]
+        ),
+    )
+    # Ray's sort-based groupby cannot sort a NULL key (the whole point
+    # of the outer join) — use the per-batch combiner + bounded merge
+    # pattern instead (<= 26 groups; arrow's group_by handles nulls)
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["n_name"]).aggregate([("o_orderkey", "count")])
+        return pa.table({"n_name": g["n_name"], "cnt": g["o_orderkey_count"]})
+
+    parts = ops.collect_table(
+        j2.map_batches(partial, batch_size=None, batch_format="pyarrow"),
+        schema=pa.schema([("n_name", pa.string()), ("cnt", pa.int64())]),
+    )
+    merged = parts.group_by(["n_name"]).aggregate([("cnt", "sum")])
+    return pa.table({"n_name": merged["n_name"], "n_orders": merged["cnt_sum"]})
+
+
+SQL_ORDERS_NATION_LEFTJOIN = """
+SELECT n_name, COUNT(*) AS n_orders
+FROM (SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 400000.0) o
+JOIN customer ON o_custkey = c_custkey
+LEFT JOIN (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10) n
+  ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
 
 
 SQL_SEGMENT_ORDERS = """
@@ -490,6 +568,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "region_stats": q_region_stats,
     "segment_orders": q_segment_orders,
+    "orders_nation_leftjoin": q_orders_nation_leftjoin,
     "custs_with_orders": q_custs_with_orders,
     "custs_without_orders": q_custs_without_orders,
     "top_orders": q_top_orders,
@@ -512,6 +591,7 @@ ORACLE_SQL = {
     "pricing_summary": SQL_PRICING,
     "region_stats": SQL_REGION_STATS,
     "segment_orders": SQL_SEGMENT_ORDERS,
+    "orders_nation_leftjoin": SQL_ORDERS_NATION_LEFTJOIN,
     "custs_with_orders": SQL_CUSTS_WITH_ORDERS,
     "custs_without_orders": SQL_CUSTS_WITHOUT_ORDERS,
     "top_orders": SQL_TOP_ORDERS,
@@ -1357,7 +1437,17 @@ def q_doc_salient_terms(sf_dir: str):
 
         scored = tf_ds.map_batches(score_bcast, batch_format="pyarrow")
     else:
-        joined = ops.hash_join(tf_ds, df_ds, on=("token",), right_on=("token",))
+        joined = ops.normalize_blocks(
+            ops.hash_join(tf_ds, df_ds, on=("token",), right_on=("token",)),
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("token", pa.string()),
+                    ("tf", pa.int64()),
+                    ("df", pa.int64()),
+                ]
+            ),
+        )
 
         def score_joined(b: pa.Table) -> pa.Table:
             score = pc.divide(

@@ -26,3 +26,18 @@ def test_seeded_sample_layout_independent(ray_session):
     h = ops._mix64(np.arange(10_000, dtype=np.uint64) ^ np.uint64(42))
     want = sorted(np.flatnonzero(h < np.uint64((1 << 64) // 20)).tolist())
     assert s1 == want
+
+
+def test_salient_terms_join_path_parity(ray_session, monkeypatch):
+    """doc_salient_terms' hash-join scale path (vocab above the
+    broadcast gate) must equal the broadcast path."""
+    from kgray import ops, queries
+
+    sf = "/root/testdata/sf0.001"
+    bcast = queries.q_doc_salient_terms(sf).to_pandas()
+    monkeypatch.setattr(ops, "BROADCAST_MAX_KEYS", 0)
+    joined = queries.q_doc_salient_terms(sf).to_pandas()
+    cols = sorted(bcast.columns)
+    a = bcast.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
+    b = joined.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
+    assert a.equals(b)
