@@ -184,12 +184,19 @@ def normalize_blocks(ds: Dataset, schema: pa.Schema) -> Dataset:
     block feeds a second join, or KeyError in a downstream
     map_batches). Empty blocks are replaced with a correctly-typed
     empty table; non-empty blocks are column-projected to the expected
-    order (metadata-only)."""
+    order (metadata-only). An outer join can also emit one-sided
+    blocks carrying only the left (or right) columns — missing columns
+    are appended as typed nulls."""
     empty = schema.empty_table()
 
     def f(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return empty
+        for name in schema.names:
+            if name not in b.column_names:
+                b = b.append_column(
+                    name, pa.nulls(b.num_rows, type=schema.field(name).type)
+                )
         return b.select(schema.names)
 
     return ds.map_batches(f, batch_size=None, batch_format="pyarrow")

@@ -457,14 +457,15 @@ def q_doc_token_counts(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def explode(b: pa.Table) -> pa.Table:
-        doc_ids, toks = [], []
-        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            for tok in (t or "").split(" "):
-                if len(tok) > 3:
-                    doc_ids.append(d)
-                    toks.append(tok)
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        mask = pc.greater(pc.utf8_length(flat), 3)
         return pa.table(
-            {"doc_id": pa.array(doc_ids, type=pa.int64()), "tok": pa.array(toks)}
+            {
+                "doc_id": b["doc_id"].combine_chunks().take(parent.filter(mask)),
+                "tok": flat.filter(mask),
+            }
         )
 
     return ops.grouped_sum_count(
@@ -495,15 +496,14 @@ SQL_DISTINCT_TEXTS = "SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique FR
 # token counting via regex (BPE-ish word/number split)
 
 def q_doc_regex_tokens(sf_dir: str):
-    import re
-
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pat = re.compile(r"[A-Za-z]+|[0-9]+")
 
     def f(b: pa.Table) -> pa.Table:
-        ns = [len(pat.findall(t or "")) for t in b["text"].to_pylist()]
+        n = pc.count_substring_regex(
+            b["text"].combine_chunks(), "[A-Za-z]+|[0-9]+"
+        )
         return pa.table(
-            {"doc_id": b["doc_id"], "n_word_tokens": pa.array(ns, type=pa.int64())}
+            {"doc_id": b["doc_id"], "n_word_tokens": pc.cast(n, pa.int64())}
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -1526,5 +1526,315 @@ drops AS (SELECT id FROM comp GROUP BY id HAVING MIN(lbl) < id)
 SELECT d.doc_id, d.n_chars FROM documents d
 WHERE d.doc_id NOT IN (SELECT id FROM drops)
 """,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Training-data prep operators (round 3 widening): sliding-window
+# document chunking, regex redaction (PII-shaped scrubbing), per-stratum
+# deterministic sampling, ROLLUP aggregate, FULL OUTER join coverage.
+
+CHUNK_W, CHUNK_S = 32, 16  # window / stride (tokens)
+
+
+def q_doc_chunks(sf_dir: str):
+    """X27: sliding-window document chunking (training-sample prep):
+    whitespace tokens -> overlapping windows of CHUNK_W tokens at
+    stride CHUNK_S (last windows may be short; every doc yields
+    ceil(n/S) chunks). Fully vectorized: one split kernel, numpy
+    window arithmetic, one gather, one binary_join — no per-row loop.
+    Embarrassingly parallel (per-batch), so it streams at any scale."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    W, S = CHUNK_W, CHUNK_S
+
+    def f(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        flat = toks.values
+        n = np.diff(offs)  # tokens per doc (>= 1: split of "" is [""])
+        nch = (n + S - 1) // S
+        doc_idx = np.repeat(np.arange(len(n), dtype=np.int64), nch)
+        cid = np.arange(len(doc_idx), dtype=np.int64) - np.repeat(
+            np.cumsum(nch) - nch, nch
+        )
+        starts = offs[:-1][doc_idx] + cid * S
+        ends = np.minimum(starts + W, offs[1:][doc_idx])
+        lens = ends - starts
+        total = int(lens.sum())
+        cum = np.cumsum(lens) - lens
+        gidx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(cum, lens)
+            + np.repeat(starts, lens)
+        )
+        chunk_offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        la = pa.LargeListArray.from_arrays(
+            pa.array(chunk_offsets, type=pa.int64()), flat.take(pa.array(gidx))
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].combine_chunks().take(pa.array(doc_idx)),
+                "chunk_id": pa.array(cid, type=pa.int64()),
+                "n_tokens": pa.array(lens, type=pa.int64()),
+                "chunk_text": pc.binary_join(la, " "),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_DOC_CHUNKS = f"""
+WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id, toks, UNNEST(RANGE(0, LEN(toks), {CHUNK_S})) AS s FROM t)
+SELECT doc_id, CAST(s // {CHUNK_S} AS BIGINT) AS chunk_id,
+       CAST(LEAST(s + {CHUNK_W}, LEN(toks)) - s AS BIGINT) AS n_tokens,
+       ARRAY_TO_STRING(toks[s + 1 : LEAST(s + {CHUNK_W}, LEN(toks))], ' ') AS chunk_text
+FROM c
+"""
+
+
+def q_props_redact(sf_dir: str):
+    """X28: regex scrubbing (the PII-redaction shape: the pattern is a
+    config knob — digit runs here, an email/phone class in production):
+    replace every match with a placeholder and count redactions per
+    record. Both kernels are vectorized RE2 (pyarrow) and match
+    DuckDB's RE2 semantics exactly."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    pat = "[0-9]+"
+
+    def f(b: pa.Table) -> pa.Table:
+        props = b["props"].combine_chunks()
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "props_redacted": pc.replace_substring_regex(
+                    props, pattern=pat, replacement="<NUM>"
+                ),
+                "n_redactions": pc.cast(
+                    pc.count_substring_regex(props, pat), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_PROPS_REDACT = """
+SELECT event_id,
+       REGEXP_REPLACE(props, '[0-9]+', '<NUM>', 'g') AS props_redacted,
+       CAST(LEN(REGEXP_EXTRACT_ALL(props, '[0-9]+')) AS BIGINT) AS n_redactions
+FROM events
+"""
+
+
+# per-stratum sampling rates (num, den); types not listed are dropped
+STRATA_RATES = {"click": (1, 4), "view": (1, 8), "purchase": (3, 4), "signup": (1, 16)}
+STRATA_SEED = 42
+
+
+def q_events_stratified_sample(sf_dir: str):
+    """X29: stratified deterministic sampling — a different keep-rate
+    per stratum (event_type), membership a pure splitmix64 function of
+    the key so the sample is identical across cluster sizes / re-runs
+    and exactly SQL-expressible (the ops.seeded_sample contract,
+    per-stratum thresholds). Types outside STRATA_RATES are dropped."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    sd = np.uint64(STRATA_SEED)
+
+    def f(b: pa.Table) -> pa.Table:
+        et = b["event_type"].combine_chunks()
+        k = b["event_id"].combine_chunks().to_numpy().astype(np.int64).view(np.uint64)
+        h = ops._mix64(k ^ sd)
+        thresh = np.zeros(len(k), dtype=np.uint64)
+        for t, (num, den) in STRATA_RATES.items():
+            m = pc.equal(et, t).to_numpy(zero_copy_only=False)
+            thresh[m] = np.uint64((1 << 64) * num // den)
+        return b.filter(pa.array(h < thresh))
+
+    return ds.map_batches(f, batch_size=None, batch_format="pyarrow")
+
+
+SQL_EVENTS_STRATIFIED = "\nUNION ALL\n".join(
+    "SELECT * FROM ("
+    + ops.seeded_sample_sql(
+        f"(SELECT event_id, event_type FROM events WHERE event_type = '{t}')",
+        "event_id",
+        ["event_id", "event_type"],
+        num=num,
+        den=den,
+        seed=STRATA_SEED,
+    )
+    + ")"
+    for t, (num, den) in STRATA_RATES.items()
+)
+
+
+def q_orders_rollup(sf_dir: str):
+    """A6: ROLLUP / grouping-sets aggregate — (year, priority)
+    subtotals, per-year subtotals, grand total, with 'ALL' sentinels.
+    Plan: the per-batch combiner + shuffle computes the FINEST level
+    (bounded: |years| x |priorities| rows); the coarser levels are
+    derived from that tiny aggregate, never from the input — the
+    rollup costs one groupby regardless of input size."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "yr": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+                "pri": b["o_orderpriority"],
+                "cents": ops.cents(b["o_totalprice"]),
+            }
+        )
+
+    base = ops.grouped_sum_count(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["yr", "pri"],
+        sums=[("cents", "sum_cents")],
+        count_alias="n",
+    )
+    fine = ops.collect_table(
+        base,
+        schema=pa.schema(
+            [
+                ("yr", pa.int64()),
+                ("pri", pa.string()),
+                ("sum_cents", pa.int64()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )
+    yr_s = pc.cast(fine["yr"], pa.string())
+    lvl0 = pa.table(
+        {"o_year": yr_s, "priority": fine["pri"], "n": fine["n"], "sum_cents": fine["sum_cents"]}
+    )
+    g1 = fine.group_by(["yr"]).aggregate([("n", "sum"), ("sum_cents", "sum")])
+    lvl1 = pa.table(
+        {
+            "o_year": pc.cast(g1["yr"], pa.string()),
+            "priority": pa.array(["ALL"] * g1.num_rows),
+            "n": g1["n_sum"],
+            "sum_cents": g1["sum_cents_sum"],
+        }
+    )
+    lvl2 = pa.table(
+        {
+            "o_year": pa.array(["ALL"]),
+            "priority": pa.array(["ALL"]),
+            "n": pa.array([pc.sum(fine["n"]).as_py()], type=pa.int64()),
+            "sum_cents": pa.array([pc.sum(fine["sum_cents"]).as_py()], type=pa.int64()),
+        }
+    )
+    return pa.concat_tables([lvl0, lvl1, lvl2])
+
+
+SQL_ORDERS_ROLLUP = """
+SELECT COALESCE(CAST(yr AS VARCHAR), 'ALL') AS o_year,
+       COALESCE(pri, 'ALL') AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+             o_orderpriority AS pri,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders)
+GROUP BY ROLLUP (yr, pri)
+"""
+
+
+def q_users_customers_full(sf_dir: str):
+    """J2 full_outer variant: distinct event users FULL OUTER JOIN
+    customers; per-batch combiner counts the match pattern (both /
+    left-only / right-only) so only three integers leave the join.
+    Ray's join coalesces the key columns into one, so each side
+    carries a constant marker column whose null-ness identifies which
+    side(s) produced the row."""
+
+    def mark(name):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                name, pa.array(np.ones(b.num_rows, dtype=np.int8))
+            )
+
+        return f
+
+    users = ops.distinct(_read(sf_dir, "events", ["user_id"]), ["user_id"]).map_batches(
+        mark("in_u"), batch_size=None, batch_format="pyarrow"
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        mark("in_c"), batch_size=None, batch_format="pyarrow"
+    )
+    j = ops.normalize_blocks(
+        users.join(
+            cust,
+            join_type="full_outer",
+            num_partitions=NUM_JOIN_PARTITIONS,
+            on=("user_id",),
+            right_on=("c_custkey",),
+        ),
+        pa.schema(
+            [("user_id", pa.int64()), ("in_u", pa.int8()), ("in_c", pa.int8())]
+        ),
+    )
+
+    def cnt(b: pa.Table) -> pa.Table:
+        u = pc.is_valid(b["in_u"])
+        c = pc.is_valid(b["in_c"])
+        return pa.table(
+            {
+                "n_both": pa.array(
+                    [pc.sum(pc.and_(u, c)).as_py() or 0], type=pa.int64()
+                ),
+                "n_left_only": pa.array(
+                    [pc.sum(pc.invert(c)).as_py() or 0], type=pa.int64()
+                ),
+                "n_right_only": pa.array(
+                    [pc.sum(pc.invert(u)).as_py() or 0], type=pa.int64()
+                ),
+            }
+        )
+
+    parts = ops.collect_table(
+        j.map_batches(cnt, batch_size=None, batch_format="pyarrow"),
+        schema=pa.schema(
+            [
+                ("n_both", pa.int64()),
+                ("n_left_only", pa.int64()),
+                ("n_right_only", pa.int64()),
+            ]
+        ),
+    )
+    return _one_row(
+        n_both=pc.sum(parts["n_both"]).as_py() or 0,
+        n_left_only=pc.sum(parts["n_left_only"]).as_py() or 0,
+        n_right_only=pc.sum(parts["n_right_only"]).as_py() or 0,
+    )
+
+
+SQL_USERS_CUSTOMERS_FULL = """
+SELECT CAST(SUM(CASE WHEN user_id IS NOT NULL AND c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_left_only,
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_right_only
+FROM (SELECT DISTINCT user_id FROM events) u FULL JOIN customer ON u.user_id = customer.c_custkey
+"""
+
+
+QUERIES.update(
+    {
+        "doc_chunks": q_doc_chunks,
+        "props_redact": q_props_redact,
+        "events_stratified_sample": q_events_stratified_sample,
+        "orders_rollup": q_orders_rollup,
+        "users_customers_full": q_users_customers_full,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "doc_chunks": SQL_DOC_CHUNKS,
+        "props_redact": SQL_PROPS_REDACT,
+        "events_stratified_sample": SQL_EVENTS_STRATIFIED,
+        "orders_rollup": SQL_ORDERS_ROLLUP,
+        "users_customers_full": SQL_USERS_CUSTOMERS_FULL,
     }
 )
