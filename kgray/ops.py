@@ -804,3 +804,91 @@ s2 AS (SELECT *, {m2} AS x2 FROM s1)
 SELECT {cols} FROM s2
 WHERE xor(x2, x2 >> 31) < {thresh}::UBIGINT
 """
+
+
+def splitmix64_sql(table_sql: str, key_col: str, out_cols: list[str], *, seed: int = 42) -> str:
+    """A SELECT returning `out_cols` plus `h` = splitmix64(key XOR
+    seed) as UBIGINT — the hash-exposing sibling of
+    `seeded_sample_sql` (same bit-exact HUGEINT arithmetic), for
+    oracles that need the hash value itself (KMV approx-distinct)."""
+    cols = ", ".join(out_cols)
+
+    def mul64(expr: str, const: int) -> str:
+        lo = f"(({expr} % 4294967296::UBIGINT)::HUGEINT * {const}::HUGEINT)"
+        hi = f"((({expr} >> 32)::HUGEINT * {const}::HUGEINT) % 4294967296::HUGEINT)"
+        return (
+            f"((({lo} % 18446744073709551616::HUGEINT) + {hi} * 4294967296::HUGEINT)"
+            " % 18446744073709551616::HUGEINT)::UBIGINT"
+        )
+
+    m1 = mul64("xor(x0, x0 >> 30)", 0xBF58476D1CE4E5B9)
+    m2 = mul64("xor(x1, x1 >> 27)", 0x94D049BB133111EB)
+    return f"""
+SELECT {cols}, xor(x2, x2 >> 31) AS h FROM (
+  SELECT *, {m2} AS x2 FROM (
+    SELECT *, {m1} AS x1 FROM (
+      SELECT {cols}, xor({key_col}::UBIGINT, {seed}::UBIGINT) AS x0 FROM {table_sql}
+    )
+  )
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# O4: distributed prefix sum / global row index (zipWithIndex)
+
+
+def with_global_index(
+    ds: Dataset,
+    sort_keys: list[str],
+    *,
+    index_col: str = "seq_pos",
+    cumsum_of: str | None = None,
+    cumsum_col: str = "running_before",
+) -> Dataset:
+    """Global row index (and optional EXCLUSIVE running sum of
+    `cumsum_of`) in `sort_keys` order — the distributed prefix-sum /
+    zipWithIndex primitive behind global ROW_NUMBER and LLM sequence
+    packing. `sort_keys` must be a unique key so the total order (and
+    therefore the index) is deterministic.
+
+    Plan: sort (the one unavoidable all-to-all), then exactly ONE
+    (rows, sum) pair per block is computed by parallel remote tasks
+    and exchanged; the driver holds only that per-block offset table
+    (two ints per block — never data), and the offset add-back runs
+    as parallel remote tasks over the already-materialized sorted
+    blocks (zero-copy object-store reads). Raw Ray tasks are the
+    documented drop-down here: a map_batches UDF has no notion of its
+    block's global position."""
+    import ray.data as rd
+
+    refs = ds.sort(sort_keys).to_arrow_refs()
+
+    @ray.remote
+    def _stats(t: pa.Table):
+        s = 0
+        if cumsum_of is not None:
+            s = int(pc.sum(t[cumsum_of]).as_py() or 0)
+        return t.num_rows, s
+
+    stats = ray.get([_stats.remote(r) for r in refs])
+    offsets, r0, s0 = [], 0, 0
+    for n, s in stats:
+        offsets.append((r0, s0))
+        r0 += n
+        s0 += s
+
+    @ray.remote
+    def _add(t: pa.Table, row_off: int, sum_off: int) -> pa.Table:
+        idx = np.arange(row_off, row_off + t.num_rows, dtype=np.int64)
+        t = t.append_column(index_col, pa.array(idx))
+        if cumsum_of is not None:
+            v = t[cumsum_of].combine_chunks().to_numpy().astype(np.int64)
+            t = t.append_column(
+                cumsum_col, pa.array(sum_off + np.cumsum(v) - v)
+            )
+        return t
+
+    return rd.from_arrow_refs(
+        [_add.remote(r, ro, so) for r, (ro, so) in zip(refs, offsets)]
+    )

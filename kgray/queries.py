@@ -1538,14 +1538,10 @@ WHERE d.doc_id NOT IN (SELECT id FROM drops)
 CHUNK_W, CHUNK_S = 32, 16  # window / stride (tokens)
 
 
-def q_doc_chunks(sf_dir: str):
-    """X27: sliding-window document chunking (training-sample prep):
-    whitespace tokens -> overlapping windows of CHUNK_W tokens at
-    stride CHUNK_S (last windows may be short; every doc yields
-    ceil(n/S) chunks). Fully vectorized: one split kernel, numpy
-    window arithmetic, one gather, one binary_join — no per-row loop.
-    Embarrassingly parallel (per-batch), so it streams at any scale."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+def _chunk_batch_fn(with_text: bool = True):
+    """Per-batch chunking kernel shared by q_doc_chunks and the
+    sequence-packing query (which drops the text BEFORE the sort
+    shuffle so only 3 int64 columns move in the all-to-all)."""
     W, S = CHUNK_W, CHUNK_S
 
     def f(b: pa.Table) -> pa.Table:
@@ -1561,27 +1557,38 @@ def q_doc_chunks(sf_dir: str):
         starts = offs[:-1][doc_idx] + cid * S
         ends = np.minimum(starts + W, offs[1:][doc_idx])
         lens = ends - starts
-        total = int(lens.sum())
-        cum = np.cumsum(lens) - lens
-        gidx = (
-            np.arange(total, dtype=np.int64)
-            - np.repeat(cum, lens)
-            + np.repeat(starts, lens)
-        )
-        chunk_offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
-        la = pa.LargeListArray.from_arrays(
-            pa.array(chunk_offsets, type=pa.int64()), flat.take(pa.array(gidx))
-        )
-        return pa.table(
-            {
-                "doc_id": b["doc_id"].combine_chunks().take(pa.array(doc_idx)),
-                "chunk_id": pa.array(cid, type=pa.int64()),
-                "n_tokens": pa.array(lens, type=pa.int64()),
-                "chunk_text": pc.binary_join(la, " "),
-            }
-        )
+        cols = {
+            "doc_id": b["doc_id"].combine_chunks().take(pa.array(doc_idx)),
+            "chunk_id": pa.array(cid, type=pa.int64()),
+            "n_tokens": pa.array(lens, type=pa.int64()),
+        }
+        if with_text:
+            total = int(lens.sum())
+            cum = np.cumsum(lens) - lens
+            gidx = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(cum, lens)
+                + np.repeat(starts, lens)
+            )
+            chunk_offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+            la = pa.LargeListArray.from_arrays(
+                pa.array(chunk_offsets, type=pa.int64()), flat.take(pa.array(gidx))
+            )
+            cols["chunk_text"] = pc.binary_join(la, " ")
+        return pa.table(cols)
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return f
+
+
+def q_doc_chunks(sf_dir: str):
+    """X27: sliding-window document chunking (training-sample prep):
+    whitespace tokens -> overlapping windows of CHUNK_W tokens at
+    stride CHUNK_S (last windows may be short; every doc yields
+    ceil(n/S) chunks). Fully vectorized: one split kernel, numpy
+    window arithmetic, one gather, one binary_join — no per-row loop.
+    Embarrassingly parallel (per-batch), so it streams at any scale."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_chunk_batch_fn(True), batch_format="pyarrow")
 
 
 SQL_DOC_CHUNKS = f"""
@@ -1836,5 +1843,324 @@ ORACLE_SQL.update(
         "events_stratified_sample": SQL_EVENTS_STRATIFIED,
         "orders_rollup": SQL_ORDERS_ROLLUP,
         "users_customers_full": SQL_USERS_CUSTOMERS_FULL,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 2: distributed prefix-sum (sequence packing / global
+# row_number), KMV approx-distinct (deterministic sketch with an EXACT
+# SQL oracle), pivot aggregate, vectorized grouped string_agg, and an
+# interval/range self-join.
+
+PACK_BUDGET = 128  # tokens per packed training sequence
+
+
+def q_doc_chunks_packed(sf_dir: str):
+    """X30: LLM sequence packing — doc chunks streamed in (doc_id,
+    chunk_id) order into fixed token-budget bins: each chunk gets a
+    global position (`seq_pos`), the exclusive running token total
+    (`tok_before`), and `bin_id = tok_before // PACK_BUDGET`
+    (contiguous-stream packing). Built on `ops.with_global_index`,
+    the distributed prefix-sum primitive: after the sort all that is
+    exchanged is ONE (rows, sum) pair per block — the driver never
+    sees data. The chunk text is dropped BEFORE the sort so the
+    all-to-all moves 3 int64 columns, not strings; at train time the
+    text re-attaches by an equi-join on (doc_id, chunk_id)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    chunks = ds.map_batches(_chunk_batch_fn(False), batch_format="pyarrow")
+    idx = ops.with_global_index(
+        chunks,
+        ["doc_id", "chunk_id"],
+        index_col="seq_pos",
+        cumsum_of="n_tokens",
+        cumsum_col="tok_before",
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        bin_id = b["tok_before"].combine_chunks().to_numpy() // PACK_BUDGET
+        return b.append_column("bin_id", pa.array(bin_id.astype(np.int64)))
+
+    return idx.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+SQL_DOC_CHUNKS_PACKED = f"""
+WITH chunks AS ({SQL_DOC_CHUNKS}),
+w AS (
+  SELECT doc_id, chunk_id, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY doc_id, chunk_id) - 1 AS seq_pos,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id, chunk_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+  FROM chunks)
+SELECT doc_id, chunk_id, n_tokens,
+       CAST(seq_pos AS BIGINT) AS seq_pos,
+       CAST(tok_before AS BIGINT) AS tok_before,
+       CAST(tok_before // {PACK_BUDGET} AS BIGINT) AS bin_id
+FROM w
+"""
+
+
+KMV_K = 64
+KMV_SEED = 7
+
+
+def q_events_kmv_distinct(sf_dir: str):
+    """X31: KMV (k-minimum-values) approximate COUNT DISTINCT of
+    users per event_type. The sketch is the k smallest splitmix64
+    hashes of the key — a mergeable bounded-size summary (combiner
+    emits <= k rows per group per batch, so the shuffle is O(groups*k)
+    regardless of input size). Because the hash is a pure function of
+    the key, the estimate is DETERMINISTIC and reproduced exactly in
+    SQL (UBIGINT splitmix64 + ROW_NUMBER) — an approx operator with an
+    exact oracle. Estimate: distinct count if < k seen, else
+    floor((k-1) * 2^64 / h_(k))."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    sd, K = np.uint64(KMV_SEED), KMV_K
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].combine_chunks()
+        h = ops._mix64(
+            b["user_id"].combine_chunks().to_numpy().astype(np.int64).view(np.uint64)
+            ^ sd
+        )
+        types, hs = [], []
+        for t in pc.unique(et).to_pylist():
+            m = pc.equal(et, t).to_numpy(zero_copy_only=False)
+            u = np.unique(h[m])[:K]
+            types.extend([t] * len(u))
+            hs.append(u)
+        return pa.table(
+            {
+                "event_type": pa.array(types),
+                "h": pa.array(np.concatenate(hs) if hs else np.array([], np.uint64)),
+            }
+        )
+
+    import pandas as pd
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(g["h"].to_numpy())
+        if len(u) < K:
+            est = len(u)
+        else:
+            est = ((K - 1) << 64) // int(u[K - 1])
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]], "approx_distinct": [est]}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_KMV = f"""
+WITH s AS ({{hash_cte}}),
+d AS (SELECT DISTINCT event_type, h FROM s),
+r AS (SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM d),
+k AS (SELECT event_type, MAX(h) AS hk, COUNT(*) AS kk
+      FROM r WHERE rn <= {KMV_K} GROUP BY event_type)
+SELECT event_type,
+       CAST(CASE WHEN kk < {KMV_K} THEN kk::HUGEINT
+                 ELSE ({KMV_K - 1}::HUGEINT * 18446744073709551616::HUGEINT)
+                      // hk::HUGEINT END AS BIGINT) AS approx_distinct
+FROM k
+""".format(
+    hash_cte=ops.splitmix64_sql(
+        "events", "user_id", ["event_type"], seed=KMV_SEED
+    )
+)
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_user_event_pivot(sf_dir: str):
+    """A7: pivot / wide aggregate — one row per user, one count column
+    per event_type plus the total. The pivot happens INSIDE the
+    per-batch combiner (each type becomes an int64 indicator column),
+    so the shuffle carries one already-wide partial row per (batch,
+    user): a pivot costs exactly one narrow groupby at any scale."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def ind(b: pa.Table) -> pa.Table:
+        cols = {"user_id": b["user_id"]}
+        et = b["event_type"].combine_chunks()
+        for t in EVENT_TYPES:
+            cols[f"n_{t}"] = pc.cast(pc.equal(et, t), pa.int64())
+        return pa.table(cols)
+
+    return ops.grouped_sum_count(
+        ds.map_batches(ind, batch_format="pyarrow"),
+        keys=["user_id"],
+        sums=[(f"n_{t}", f"n_{t}") for t in EVENT_TYPES],
+        count_alias="n_events",
+    )
+
+
+SQL_USER_EVENT_PIVOT = """
+SELECT user_id,
+       {cols},
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+""".format(
+    cols=",\n       ".join(
+        f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+        for t in EVENT_TYPES
+    )
+)
+
+
+def q_user_event_types(sf_dir: str):
+    """F8: grouped ordered string_agg — per user, the alphabetically
+    sorted comma-joined set of event types. No per-group sort at all:
+    distinct (user, type) -> per-type presence indicators via the
+    pivot combiner -> `binary_join_element_wise(..., skip nulls)`
+    assembles the ordered concatenation fully vectorized (the order is
+    the static EVENT_TYPES order, which IS the sort order)."""
+    ds = ops.distinct(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        ["user_id", "event_type"],
+    )
+
+    def ind(b: pa.Table) -> pa.Table:
+        cols = {"user_id": b["user_id"]}
+        et = b["event_type"].combine_chunks()
+        for t in EVENT_TYPES:
+            cols[f"p_{t}"] = pc.cast(pc.equal(et, t), pa.int64())
+        return pa.table(cols)
+
+    agg = ops.grouped_sum_count(
+        ds.map_batches(ind, batch_format="pyarrow"),
+        keys=["user_id"],
+        sums=[(f"p_{t}", f"p_{t}") for t in EVENT_TYPES],
+    )
+
+    def join_str(b: pa.Table) -> pa.Table:
+        parts = [
+            pc.if_else(
+                pc.greater(b[f"p_{t}"], 0),
+                pa.scalar(t),
+                pa.scalar(None, type=pa.string()),
+            )
+            for t in EVENT_TYPES
+        ]
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_types": pc.binary_join_element_wise(
+                    *parts, ",", null_handling="skip"
+                ),
+            }
+        )
+
+    return agg.map_batches(join_str, batch_size=None, batch_format="pyarrow")
+
+
+SQL_USER_EVENT_TYPES = """
+SELECT user_id,
+       STRING_AGG(DISTINCT event_type, ',' ORDER BY event_type) AS event_types
+FROM events GROUP BY user_id
+"""
+
+
+def q_signup_click_24h(sf_dir: str):
+    """J4: interval/range join (event-sequence analysis): for every
+    signup event, how many clicks by the same user within the next 24
+    hours. The range predicate rides an equi-join on the user key
+    (partition by user, filter the time window inside the batch) —
+    the standard way to run a range join as a hash shuffle; unmatched
+    signups survive via left_outer + null-safe indicator, so zeros
+    are counted too."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def typed(t):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["event_type"], t)).drop_columns(
+                ["event_type"]
+            )
+
+        return f
+
+    sign = ev.map_batches(typed("signup"), batch_format="pyarrow")
+    clicks = ev.map_batches(typed("click"), batch_format="pyarrow").map_batches(
+        lambda b: pa.table({"ru": b["user_id"], "c_ts": b["ts"]}),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+
+    j = ops.normalize_blocks(
+        sign.join(
+            clicks,
+            join_type="left_outer",
+            num_partitions=NUM_JOIN_PARTITIONS,
+            on=("user_id",),
+            right_on=("ru",),
+        ),
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("c_ts", pa.timestamp("us")),
+            ]
+        ),
+    )
+
+    DAY_US = 24 * 3600 * 1_000_000
+
+    def cnt(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["ts"], pa.int64())
+        c = pc.cast(b["c_ts"], pa.int64())
+        diff = pc.subtract(c, s)
+        hit = pc.fill_null(
+            pc.and_(pc.greater_equal(diff, 0), pc.less(diff, DAY_US)), False
+        )
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "hit": pc.cast(hit, pa.int64()),
+            }
+        )
+
+    return ops.grouped_sum_count(
+        j.map_batches(cnt, batch_size=None, batch_format="pyarrow"),
+        keys=["event_id"],
+        sums=[("hit", "n_clicks_24h")],
+    )
+
+
+SQL_SIGNUP_CLICK_24H = """
+SELECT s.event_id,
+       CAST(COUNT(CASE WHEN c.ts >= s.ts AND c.ts < s.ts + INTERVAL 24 HOUR
+                       THEN 1 END) AS BIGINT) AS n_clicks_24h
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = s.user_id
+GROUP BY s.event_id
+"""
+
+
+QUERIES.update(
+    {
+        "doc_chunks_packed": q_doc_chunks_packed,
+        "events_kmv_distinct": q_events_kmv_distinct,
+        "user_event_pivot": q_user_event_pivot,
+        "user_event_types": q_user_event_types,
+        "signup_click_24h": q_signup_click_24h,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "doc_chunks_packed": SQL_DOC_CHUNKS_PACKED,
+        "events_kmv_distinct": SQL_EVENTS_KMV,
+        "user_event_pivot": SQL_USER_EVENT_PIVOT,
+        "user_event_types": SQL_USER_EVENT_TYPES,
+        "signup_click_24h": SQL_SIGNUP_CLICK_24H,
     }
 )

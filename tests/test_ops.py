@@ -41,3 +41,27 @@ def test_salient_terms_join_path_parity(ray_session, monkeypatch):
     a = bcast.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
     b = joined.reindex(cols, axis=1).sort_values(cols, ignore_index=True)
     assert a.equals(b)
+
+
+def test_with_global_index_layout_independent(ray_session):
+    """O4: the distributed prefix-sum must produce the identical global
+    index / running sum whatever the block layout (1 block vs many),
+    and match the sequential definition exactly."""
+    from kgray import ops
+
+    rng = np.random.default_rng(7)
+    keys = rng.permutation(20_000).astype(np.int64)
+    vals = rng.integers(0, 100, 20_000).astype(np.int64)
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+
+    for nparts in (1, 23):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        out = (
+            ops.with_global_index(ds, ["k"], index_col="idx",
+                                  cumsum_of="v", cumsum_col="run")
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        assert (out["idx"].to_numpy() == np.arange(20_000)).all()
+        v = out["v"].to_numpy()
+        assert (out["run"].to_numpy() == np.cumsum(v) - v).all()
