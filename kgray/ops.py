@@ -892,3 +892,49 @@ def with_global_index(
     return rd.from_arrow_refs(
         [_add.remote(r, ro, so) for r, (ro, so) in zip(refs, offsets)]
     )
+
+
+def group_lag(
+    ds: Dataset,
+    key: str,
+    order_cols: list[str],
+    lag_cols: dict[str, str],
+) -> Dataset:
+    """W1: per-key LAG — for each row, the previous row's values in
+    `order_cols` order within its key partition (None for the first
+    row). `lag_cols` maps source column -> output alias. One shuffle
+    on the key; the per-group sort+shift is vectorized inside the
+    worker. Assumes a key's rows fit one worker (same contract as
+    `sessionize`/`sliding_window_count`; salt or range-split outsized
+    keys upstream)."""
+    import pandas as pd
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, ignore_index=True)
+        out = g.copy()
+        for src, alias in lag_cols.items():
+            out[alias] = g[src].shift(1)
+        return out
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def group_running_sum(
+    ds: Dataset,
+    key: str,
+    order_cols: list[str],
+    val_col: str,
+    out_col: str,
+) -> Dataset:
+    """W2: per-key running (inclusive) sum in `order_cols` order —
+    SUM(val) OVER (PARTITION BY key ORDER BY ...). Use an integer
+    value column (cents) for bit-exact parity with SQL; same
+    key-fits-worker contract as `group_lag`."""
+    import pandas as pd
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, ignore_index=True)
+        g[out_col] = g[val_col].cumsum()
+        return g
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")

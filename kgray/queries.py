@@ -2164,3 +2164,179 @@ ORACLE_SQL.update(
         "signup_click_24h": SQL_SIGNUP_CLICK_24H,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 3: per-key window functions (LAG / running sum),
+# fixed-width histogram, corpus bigram heavy hitters.
+
+
+def q_events_user_lag(sf_dir: str):
+    """W1: LAG window function — for every event, the previous event id
+    and the gap in microseconds for the same user in (ts, event_id)
+    order (NULL for each user's first event). `ops.group_lag`: one key
+    shuffle, vectorized sort+shift per group."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    lagged = ops.group_lag(
+        ds,
+        "user_id",
+        ["ts", "event_id"],
+        {"event_id": "prev_event_id", "ts": "prev_ts"},
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        gap = pc.subtract(
+            pc.cast(b["ts"], pa.int64()), pc.cast(b["prev_ts"], pa.int64())
+        )
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "prev_event_id": pc.cast(b["prev_event_id"], pa.int64()),
+                "gap_us": gap,
+            }
+        )
+
+    return lagged.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+SQL_EVENTS_USER_LAG = """
+SELECT event_id,
+       LAG(event_id) OVER w AS prev_event_id,
+       CAST(EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w) AS BIGINT) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_events_user_running(sf_dir: str):
+    """W2: per-key running sum — cumulative event value (exact integer
+    cents) per user in (ts, event_id) order. `ops.group_running_sum`;
+    the cents pattern makes the cumulative bit-exact vs SQL."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "user_id": b["user_id"],
+                "cents": ops.cents(b["value"]),
+            }
+        )
+
+    run = ops.group_running_sum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        ["ts", "event_id"],
+        "cents",
+        "run_cents",
+    )
+    return run.select_columns(["event_id", "run_cents"])
+
+
+SQL_EVENTS_USER_RUNNING = """
+SELECT event_id,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+         AS run_cents
+FROM events
+"""
+
+
+HIST_BIN_CENTS = 2_500_000  # $25,000-wide price bins
+
+
+def q_orders_price_histogram(sf_dir: str):
+    """A9: fixed-width histogram (distribution profiling): order total
+    prices bucketed into $25k bins, count + exact cents sum per bin.
+    Pure combiner aggregate — the shuffle moves one row per (batch,
+    bin), the output is O(bins)."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = ops.cents(b["o_totalprice"])
+        return pa.table(
+            {
+                "bin_id": pc.cast(
+                    pc.divide(cents, HIST_BIN_CENTS), pa.int64()
+                ),
+                "cents": cents,
+            }
+        )
+
+    return ops.grouped_sum_count(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["bin_id"],
+        sums=[("cents", "sum_cents")],
+        count_alias="n",
+    )
+
+
+SQL_ORDERS_PRICE_HISTOGRAM = f"""
+SELECT CAST(cents // {HIST_BIN_CENTS} AS BIGINT) AS bin_id,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       COUNT(*) AS n
+FROM (SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+GROUP BY 1
+"""
+
+
+BIGRAM_TOPK = 20
+
+
+def q_doc_bigrams_top20(sf_dir: str):
+    """X32: corpus-wide bigram heavy hitters — adjacent-token pairs
+    built fully vectorized from the split ListArray's offsets (the
+    pair (flat[i], flat[i+1]) for every i that is not a document
+    boundary), then `ops.frequent_items`: combiner counts bound the
+    shuffle to distinct bigrams, deterministic (count desc, bigram
+    asc) top-20."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def bigrams(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        flat = toks.values
+        # positions i where (i, i+1) stay inside one doc:
+        # all i in [0, len(flat)-1) except doc-end indices offs[1:]-1
+        n = len(flat)
+        keep = np.ones(max(n - 1, 0), dtype=bool)
+        ends = offs[1:] - 1
+        keep[ends[(ends >= 0) & (ends < n - 1)]] = False
+        idx = np.flatnonzero(keep)
+        left = flat.take(pa.array(idx))
+        right = flat.take(pa.array(idx + 1))
+        return pa.table(
+            {"bg": pc.binary_join_element_wise(left, right, " ")}
+        )
+
+    bg = ds.map_batches(bigrams, batch_format="pyarrow")
+    return ops.frequent_items(bg, "bg", BIGRAM_TOPK)
+
+
+SQL_DOC_BIGRAMS_TOP20 = f"""
+WITH t AS (SELECT STRING_SPLIT(text, ' ') AS toks FROM documents),
+b AS (SELECT toks[i] || ' ' || toks[i + 1] AS bg
+      FROM t, UNNEST(RANGE(1, LEN(toks))) AS u(i))
+SELECT bg, COUNT(*) AS n FROM b
+GROUP BY bg ORDER BY n DESC, bg LIMIT {BIGRAM_TOPK}
+"""
+
+
+QUERIES.update(
+    {
+        "events_user_lag": q_events_user_lag,
+        "events_user_running": q_events_user_running,
+        "orders_price_histogram": q_orders_price_histogram,
+        "doc_bigrams_top20": q_doc_bigrams_top20,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "events_user_lag": SQL_EVENTS_USER_LAG,
+        "events_user_running": SQL_EVENTS_USER_RUNNING,
+        "orders_price_histogram": SQL_ORDERS_PRICE_HISTOGRAM,
+        "doc_bigrams_top20": SQL_DOC_BIGRAMS_TOP20,
+    }
+)
