@@ -938,3 +938,55 @@ def group_running_sum(
         return g
 
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def group_quantile_disc(
+    ds: Dataset,
+    key: str,
+    col: str,
+    q: float,
+    out_col: str,
+    *,
+    mode: str = "auto",
+    rows: int | None = None,
+) -> Dataset:
+    """Per-group DISCRETE quantile — the sorted group's value at index
+    ceil(q*n)-1, exactly SQL QUANTILE_DISC's convention (no
+    interpolation, so integer columns stay exact end-to-end). Same
+    two physical plans and auto gate as `group_median`:
+
+    - ``exact``: key shuffle + per-group numpy partition (group fits a
+      worker);
+    - ``hist``: combiner-bounded (key, value) counts + cumulative walk
+      (group rows unbounded, distinct values bounded) — identical
+      output, parity-tested."""
+    import pandas as pd
+
+    if mode == "auto":
+        n = rows if rows is not None else ds.count()
+        mode = "hist" if n > MEDIAN_EXACT_MAX_ROWS else "exact"
+
+    if mode == "hist":
+        counts = grouped_sum_count(
+            ds.select_columns([key, col]), keys=[key, col], sums=[], count_alias="_n"
+        )
+
+        def per_key_h(g: pd.DataFrame) -> pd.DataFrame:
+            vals = g[col].to_numpy()
+            cnts = g["_n"].to_numpy()
+            order = np.argsort(vals, kind="mergesort")
+            vals, cnts = vals[order], cnts[order]
+            cum = np.cumsum(cnts)
+            n = int(cum[-1])
+            rank = max(int(np.ceil(q * n)), 1)  # 1-based
+            v = vals[np.searchsorted(cum, rank)]
+            return pd.DataFrame({key: [g[key].iloc[0]], out_col: [v]})
+
+        return counts.groupby(key).map_groups(per_key_h, batch_format="pandas")
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[col].to_numpy())
+        idx = max(int(np.ceil(q * len(v))) - 1, 0)
+        return pd.DataFrame({key: [g[key].iloc[0]], out_col: [v[idx]]})
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")

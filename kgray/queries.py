@@ -2340,3 +2340,197 @@ ORACLE_SQL.update(
         "doc_bigrams_top20": SQL_DOC_BIGRAMS_TOP20,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 4: grouped discrete quantile, composite-key window
+# count, NTILE on the prefix-sum primitive, unpivot/melt.
+
+
+def q_priority_price_p90(sf_dir: str):
+    """X33: grouped P90 (discrete quantile) of order price cents per
+    priority — `ops.group_quantile_disc`, QUANTILE_DISC convention
+    (sorted index ceil(q*n)-1: no interpolation, integers stay exact).
+    The auto gate picks the combiner-bounded histogram plan for huge
+    groups; both plans parity-tested."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "cents": ops.cents(b["o_totalprice"]),
+            }
+        )
+
+    return ops.group_quantile_disc(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "o_orderpriority",
+        "cents",
+        0.9,
+        "p90_cents",
+    )
+
+
+SQL_PRIORITY_PRICE_P90 = """
+SELECT o_orderpriority,
+       CAST(QUANTILE_DISC(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT), 0.9) AS BIGINT)
+         AS p90_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_event_group_size(sf_dir: str):
+    """W3: COUNT(*) OVER (PARTITION BY user_id, event_type) — the
+    grouped window count, via the join-back plan: a combiner groupby
+    produces the per-(user, type) sizes (bounded by distinct pairs,
+    never input rows), then a composite-key hash join attaches the
+    size to every event. Also exercises Ray's multi-column join."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    sizes = ops.grouped_sum_count(
+        ev.select_columns(["user_id", "event_type"]),
+        keys=["user_id", "event_type"],
+        sums=[],
+        count_alias="grp_n",
+    ).map_batches(
+        lambda b: pa.table(
+            {"su": b["user_id"], "st": b["event_type"], "grp_n": b["grp_n"]}
+        ),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+    j = ops.normalize_blocks(
+        ev.join(
+            sizes,
+            join_type="inner",
+            num_partitions=NUM_JOIN_PARTITIONS,
+            on=("user_id", "event_type"),
+            right_on=("su", "st"),
+        ),
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("grp_n", pa.int64()),
+            ]
+        ),
+    )
+    return j.select_columns(["event_id", "grp_n"])
+
+
+SQL_EVENT_GROUP_SIZE = """
+SELECT event_id,
+       COUNT(*) OVER (PARTITION BY user_id, event_type) AS grp_n
+FROM events
+"""
+
+
+NTILE_K = 4
+
+
+def q_orders_ntile(sf_dir: str):
+    """O5: global NTILE(4) over order price — the second consumer of
+    the distributed prefix-sum primitive: global position from
+    `ops.with_global_index` (sorted by (cents, key): unique, so the
+    order is total and deterministic), then DuckDB's NTILE fill
+    convention (first n%k tiles get the extra row) applied
+    vectorized."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": b["o_orderkey"], "cents": ops.cents(b["o_totalprice"])}
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    idx = ops.with_global_index(prepped, ["cents", "o_orderkey"], index_col="_pos")
+    n = _read(sf_dir, "orders", ["o_orderkey"]).count()
+    base, rem = divmod(n, NTILE_K)
+    boundary = rem * (base + 1)
+
+    def fin(b: pa.Table) -> pa.Table:
+        p = b["_pos"].combine_chunks().to_numpy()
+        if base > 0:
+            tile = np.where(
+                p < boundary, p // (base + 1), rem + (p - boundary) // base
+            )
+        else:
+            tile = p  # n < k: one row per tile
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "ntile": pa.array((tile + 1).astype(np.int64)),
+            }
+        )
+
+    return idx.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+SQL_ORDERS_NTILE = f"""
+SELECT o_orderkey,
+       CAST(NTILE({NTILE_K}) OVER (
+         ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT), o_orderkey
+       ) AS BIGINT) AS ntile
+FROM orders
+"""
+
+
+def q_user_event_unpivot(sf_dir: str):
+    """A10: unpivot/melt — the wide per-user pivot back to long
+    (user_id, event_type, n) form, zeros kept (UNPIVOT semantics:
+    the columns always exist). Vectorized: np.repeat the keys, tile
+    the static type list, one concat of the count columns — applied
+    per batch of the already-aggregated pivot, so it streams."""
+    wide = q_user_event_pivot(sf_dir)
+
+    def melt(b: pa.Table) -> pa.Table:
+        k = len(EVENT_TYPES)
+        nrow = b.num_rows
+        uid = b["user_id"].combine_chunks().to_numpy()
+        counts = np.stack(
+            [b[f"n_{t}"].combine_chunks().to_numpy() for t in EVENT_TYPES],
+            axis=1,
+        ).reshape(-1)
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(uid, k)),
+                "event_type": pa.array(np.tile(np.array(EVENT_TYPES), nrow)),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    return wide.map_batches(melt, batch_size=None, batch_format="pyarrow")
+
+
+SQL_USER_EVENT_UNPIVOT = """
+UNPIVOT (
+  SELECT user_id,
+         {cols}
+  FROM events GROUP BY user_id
+) ON {oncols} INTO NAME event_type VALUE n
+""".format(
+    cols=",\n         ".join(
+        f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in EVENT_TYPES
+    ),
+    oncols=", ".join(EVENT_TYPES),
+)
+
+
+QUERIES.update(
+    {
+        "priority_price_p90": q_priority_price_p90,
+        "event_group_size": q_event_group_size,
+        "orders_ntile": q_orders_ntile,
+        "user_event_unpivot": q_user_event_unpivot,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "priority_price_p90": SQL_PRIORITY_PRICE_P90,
+        "event_group_size": SQL_EVENT_GROUP_SIZE,
+        "orders_ntile": SQL_ORDERS_NTILE,
+        "user_event_unpivot": SQL_USER_EVENT_UNPIVOT,
+    }
+)

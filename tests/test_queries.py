@@ -271,3 +271,47 @@ def test_multimodal_matches_independent_expected(ray_session, con):
     ray_small = _to_df(e.queries()["multimodal_features"](SF_DIR))
     exp_small = multimodal.expected_features_table(100).to_pandas()
     _compare("multimodal_features@100", ray_small, exp_small)
+
+
+def test_group_quantile_disc_hist_parity(ray_session):
+    """group_quantile_disc's histogram scale path must equal the exact
+    per-group path, and both must follow QUANTILE_DISC's
+    ceil(q*n)-1 index convention."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kgray import ops
+
+    orders = ray.data.read_parquet(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"k": b["o_orderpriority"], "v": ops.cents(b["o_totalprice"])}
+        )
+
+    prepped = orders.map_batches(prep, batch_format="pyarrow")
+    for q in (0.25, 0.5, 0.9):
+        exact = _to_df(
+            ops.group_quantile_disc(prepped, "k", "v", q, "p", mode="exact")
+        ).sort_values(["k"], ignore_index=True)
+        hist = _to_df(
+            ops.group_quantile_disc(prepped, "k", "v", q, "p", mode="hist")
+        ).sort_values(["k"], ignore_index=True)
+        assert exact.equals(hist), q
+
+    # index convention vs a sequential definition, incl. tiny groups
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 30, size=4999).astype("int64")
+    t = pa.table({"k": pa.array(["g"] * len(vals)), "v": pa.array(vals)})
+    for q in (0.1, 0.9):
+        want = np.sort(vals)[int(np.ceil(q * len(vals))) - 1]
+        for mode in ("exact", "hist"):
+            out = _to_df(
+                ops.group_quantile_disc(
+                    ray.data.from_arrow(t), "k", "v", q, "p", mode=mode
+                )
+            )
+            assert out["p"].iloc[0] == want, (q, mode)
