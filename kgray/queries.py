@@ -20,6 +20,7 @@ import os
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray.data
 from ray.data.aggregate import Count, Sum
@@ -2532,5 +2533,133 @@ ORACLE_SQL.update(
         "event_group_size": SQL_EVENT_GROUP_SIZE,
         "orders_ntile": SQL_ORDERS_NTILE,
         "user_event_unpivot": SQL_USER_EVENT_UNPIVOT,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 5: grouped argmax, multi-join revenue pipeline.
+
+
+def q_user_biggest_event(sf_dir: str):
+    """A11: grouped argmax — per user, the event_id of the
+    highest-value event (tie -> smallest event_id). Combiner plan:
+    each batch is vector-sorted by (user, value desc, id) and reduced
+    to one candidate row per user BEFORE the shuffle; the global merge
+    re-applies the same rule over the tiny candidate set, so the
+    exchange carries one row per (batch, user)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def best_per_block(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            b,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("value", "descending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        s = b.take(idx)
+        u = s["user_id"].combine_chunks().to_numpy()
+        first = np.concatenate([[True], u[1:] != u[:-1]]) if len(u) else np.array([], bool)
+        return s.filter(pa.array(first))
+
+    partial = ds.map_batches(best_per_block, batch_format="pyarrow")
+
+    import pandas as pd
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["value", "event_id"], ascending=[False, True], ignore_index=True
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "best_event_id": [g["event_id"].iloc[0]],
+            }
+        )
+
+    return partial.groupby("user_id").map_groups(merge, batch_format="pandas")
+
+
+SQL_USER_BIGGEST_EVENT = """
+SELECT user_id, event_id AS best_event_id FROM events
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY user_id ORDER BY value DESC, event_id) = 1
+"""
+
+
+def q_nation_year_revenue(sf_dir: str):
+    """P1: three-table join pipeline (TPC-H-flavored): orders ⋈
+    customer (distributed hash join — both sides scale) ⋈ nation
+    (25 rows: broadcast, never a shuffle), then a combiner rollup of
+    exact cents revenue per (nation, year). The join order and
+    physical choice per join size is the point: big-big shuffles
+    once, dimension rides the object store."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep_o(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "o_year": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+                "cents": ops.cents(b["o_totalprice"]),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j1 = ops.normalize_blocks(
+        orders.map_batches(prep_o, batch_format="pyarrow").join(
+            cust,
+            join_type="inner",
+            num_partitions=NUM_JOIN_PARTITIONS,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        ),
+        pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("o_year", pa.int64()),
+                ("cents", pa.int64()),
+                ("c_nationkey", pa.int32()),
+            ]
+        ),
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    j2 = ops.broadcast_join(j1, nation, keys=["c_nationkey"], right_keys=["n_nationkey"])
+    return ops.grouped_sum_count(
+        j2,
+        keys=["n_name", "o_year"],
+        sums=[("cents", "revenue_cents")],
+        count_alias="n_orders",
+    )
+
+
+SQL_NATION_YEAR_REVENUE = """
+SELECT n_name,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name, o_year
+"""
+
+
+QUERIES.update(
+    {
+        "user_biggest_event": q_user_biggest_event,
+        "nation_year_revenue": q_nation_year_revenue,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "user_biggest_event": SQL_USER_BIGGEST_EVENT,
+        "nation_year_revenue": SQL_NATION_YEAR_REVENUE,
     }
 )
