@@ -2663,3 +2663,108 @@ ORACLE_SQL.update(
         "nation_year_revenue": SQL_NATION_YEAR_REVENUE,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 6: deterministic training shuffle + split assignment.
+
+SHUFFLE_SEED = 2024
+
+
+def q_doc_shuffle_pos(sf_dir: str):
+    """X34: deterministic corpus shuffle (training-epoch order): each
+    doc's position is its rank under splitmix64(doc_id ^ seed) — a
+    pure key function, so the permutation is identical on any cluster
+    size / re-run (resumable epochs) and exactly SQL-expressible,
+    unlike random_shuffle. Third consumer of `ops.with_global_index`
+    (the hash becomes the sort key; id breaks 128-bit-unlikely ties
+    deterministically)."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    sd = np.uint64(SHUFFLE_SEED)
+
+    def h(b: pa.Table) -> pa.Table:
+        k = b["doc_id"].combine_chunks().to_numpy().astype(np.int64).view(np.uint64)
+        # store as int64 bit pattern; order preserved by shifting the
+        # sign: h_signed = h - 2^63 maps uint64 order to int64 order
+        hs = (ops._mix64(k ^ sd) - np.uint64(1 << 63)).view(np.int64)
+        return pa.table({"doc_id": b["doc_id"], "h": pa.array(hs)})
+
+    idx = ops.with_global_index(
+        ds.map_batches(h, batch_format="pyarrow"),
+        ["h", "doc_id"],
+        index_col="shuffle_pos",
+    )
+    return idx.select_columns(["doc_id", "shuffle_pos"])
+
+
+SQL_DOC_SHUFFLE_POS = """
+WITH s AS ({hash_cte})
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS shuffle_pos
+FROM s
+""".format(
+    hash_cte=ops.splitmix64_sql("documents", "doc_id", ["doc_id"], seed=SHUFFLE_SEED)
+)
+
+
+SPLIT_SEED = 77
+# cumulative integer thresholds out of 2^64: 80% train / 10% val / 10% test
+SPLIT_TRAIN_END = (1 << 64) * 8 // 10
+SPLIT_VAL_END = (1 << 64) * 9 // 10
+
+
+def q_doc_split_assign(sf_dir: str):
+    """X35: deterministic train/val/test split — the split is a pure
+    splitmix64 function of the key (80/10/10 via exact integer
+    thresholds), so membership is stable across cluster sizes,
+    re-runs and resumes, and a doc can never leak between splits when
+    the corpus grows (new keys hash independently). Embarrassingly
+    parallel; exact SQL oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    sd = np.uint64(SPLIT_SEED)
+    t1, t2 = np.uint64(SPLIT_TRAIN_END), np.uint64(SPLIT_VAL_END)
+
+    def f(b: pa.Table) -> pa.Table:
+        k = b["doc_id"].combine_chunks().to_numpy().astype(np.int64).view(np.uint64)
+        h = ops._mix64(k ^ sd)
+        split = np.select([h < t1, h < t2], ["train", "val"], default="test")
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lang": b["lang"],
+                "split": pa.array(split),
+            }
+        )
+
+    return ds.map_batches(f, batch_size=None, batch_format="pyarrow")
+
+
+SQL_DOC_SPLIT_ASSIGN = """
+WITH s AS ({hash_cte})
+SELECT doc_id, lang,
+       CASE WHEN h < {t1}::UBIGINT THEN 'train'
+            WHEN h < {t2}::UBIGINT THEN 'val'
+            ELSE 'test' END AS split
+FROM s
+""".format(
+    hash_cte=ops.splitmix64_sql(
+        "documents", "doc_id", ["doc_id", "lang"], seed=SPLIT_SEED
+    ),
+    t1=SPLIT_TRAIN_END,
+    t2=SPLIT_VAL_END,
+)
+
+
+QUERIES.update(
+    {
+        "doc_shuffle_pos": q_doc_shuffle_pos,
+        "doc_split_assign": q_doc_split_assign,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "doc_shuffle_pos": SQL_DOC_SHUFFLE_POS,
+        "doc_split_assign": SQL_DOC_SPLIT_ASSIGN,
+    }
+)
