@@ -2768,3 +2768,163 @@ ORACLE_SQL.update(
         "doc_split_assign": SQL_DOC_SPLIT_ASSIGN,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 7: repetition quality signal + train/test
+# decontamination by n-gram overlap.
+
+
+def q_doc_repetition(sf_dir: str):
+    """X36: repetition quality signal (Gopher-style): per doc, total
+    bigrams, the most-repeated bigram's count, and its fraction. One
+    row = one doc, so the whole computation is in-batch (two arrow
+    group_bys per batch, no shuffle at all); the fraction is a single
+    IEEE division, bit-matching SQL. Docs with < 2 tokens have no
+    bigrams and drop out (same in the oracle)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def rep(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        flat = toks.values
+        doc_np = b["doc_id"].combine_chunks().to_numpy()
+        nb = np.maximum(np.diff(offs) - 1, 0)  # bigrams per doc
+        n = len(flat)
+        keep = np.ones(max(n - 1, 0), dtype=bool)
+        ends = offs[1:] - 1
+        keep[ends[(ends >= 0) & (ends < n - 1)]] = False
+        idx = np.flatnonzero(keep)
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.repeat(doc_np, nb)),
+                "bg": pc.binary_join_element_wise(
+                    flat.take(pa.array(idx)), flat.take(pa.array(idx + 1)), " "
+                ),
+            }
+        )
+        c = t.group_by(["doc_id", "bg"]).aggregate([("bg", "count")])
+        a = c.group_by("doc_id").aggregate(
+            [("bg_count", "sum"), ("bg_count", "max")]
+        )
+        top = pc.cast(a["bg_count_max"], pa.int64())
+        tot = pc.cast(a["bg_count_sum"], pa.int64())
+        return pa.table(
+            {
+                "doc_id": a["doc_id"],
+                "n_bigrams": tot,
+                "top_bigram_n": top,
+                "top_frac": pc.divide(
+                    pc.cast(top, pa.float64()), pc.cast(tot, pa.float64())
+                ),
+            }
+        )
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
+SQL_DOC_REPETITION = """
+WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+b AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+      FROM t, UNNEST(RANGE(1, LEN(toks))) u(i)),
+c AS (SELECT doc_id, bg, COUNT(*) AS n FROM b GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+       MAX(n)::DOUBLE / SUM(n)::DOUBLE AS top_frac
+FROM c GROUP BY doc_id
+"""
+
+
+DECON_K = 4  # n-gram order for contamination matching
+
+
+def _gram_batch(b: pa.Table, mask: np.ndarray) -> pa.Table:
+    """(doc_id, gram) rows of DECON_K-grams for the masked docs of a
+    batch — all offset arithmetic, K shifted takes and one
+    element-wise join; no per-row loop."""
+    K = DECON_K
+    sub = b.filter(pa.array(mask))
+    toks = pc.split_pattern(sub["text"].combine_chunks(), " ")
+    offs = toks.offsets.to_numpy().astype(np.int64)
+    flat = toks.values
+    doc_np = sub["doc_id"].combine_chunks().to_numpy()
+    m = np.maximum(np.diff(offs) - (K - 1), 0)  # grams per doc
+    total = int(m.sum())
+    base = np.repeat(offs[:-1], m)
+    within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+    idx = base + within
+    parts = [flat.take(pa.array(idx + k)) for k in range(K)]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.repeat(doc_np, m)),
+            "gram": pc.binary_join_element_wise(*parts, " "),
+        }
+    )
+
+
+def q_contaminated_train(sf_dir: str):
+    """X37: train/test decontamination — distinct TRAIN-split docs
+    sharing at least one DECON_K-gram with any TEST-split doc (the
+    X35 hash split defines the sides). Plan: both sides explode to
+    (doc_id, gram) with zero per-row loops; the test side is
+    dimension-sized (10% of the corpus, distinct grams), so
+    `ops.semi_join`'s size gate broadcasts it as an `is_in` filter —
+    above the gate it becomes a distributed left_semi hash join.
+    Output: the contaminated train doc ids (the removal set a real
+    pipeline would anti-join against its training corpus)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sd = np.uint64(SPLIT_SEED)
+    t1, t2 = np.uint64(SPLIT_TRAIN_END), np.uint64(SPLIT_VAL_END)
+
+    def split_masks(b: pa.Table):
+        k = b["doc_id"].combine_chunks().to_numpy().astype(np.int64).view(np.uint64)
+        return ops._mix64(k ^ sd)
+
+    def train_grams(b: pa.Table) -> pa.Table:
+        return _gram_batch(b, split_masks(b) < t1)
+
+    def test_grams(b: pa.Table) -> pa.Table:
+        return _gram_batch(b, split_masks(b) >= t2)
+
+    tg = ds.map_batches(train_grams, batch_format="pyarrow")
+    qg = ds.map_batches(test_grams, batch_format="pyarrow").select_columns(["gram"])
+    hit = ops.semi_join(tg, "gram", qg, "gram")
+    return ops.distinct(hit.select_columns(["doc_id"]), ["doc_id"])
+
+
+SQL_CONTAMINATED_TRAIN = """
+WITH s AS ({hash_cte}),
+tr AS (SELECT doc_id, text FROM s WHERE h < {t1}::UBIGINT),
+te AS (SELECT text FROM s WHERE h >= {t2}::UBIGINT),
+gt AS (SELECT doc_id, ARRAY_TO_STRING(toks[i:i+{km1}], ' ') AS gram
+       FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM tr),
+            UNNEST(RANGE(1, LEN(toks) - {km2})) u(i)),
+gq AS (SELECT DISTINCT ARRAY_TO_STRING(toks[i:i+{km1}], ' ') AS gram
+       FROM (SELECT STRING_SPLIT(text, ' ') AS toks FROM te),
+            UNNEST(RANGE(1, LEN(toks) - {km2})) u(i))
+SELECT DISTINCT gt.doc_id FROM gt JOIN gq USING (gram)
+""".format(
+    hash_cte=ops.splitmix64_sql(
+        "documents", "doc_id", ["doc_id", "text"], seed=SPLIT_SEED
+    ),
+    t1=SPLIT_TRAIN_END,
+    t2=SPLIT_VAL_END,
+    km1=DECON_K - 1,
+    km2=DECON_K - 2,
+)
+
+
+QUERIES.update(
+    {
+        "doc_repetition": q_doc_repetition,
+        "contaminated_train": q_contaminated_train,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "doc_repetition": SQL_DOC_REPETITION,
+        "contaminated_train": SQL_CONTAMINATED_TRAIN,
+    }
+)
