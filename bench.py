@@ -30,6 +30,11 @@ BENCH_QUERIES = [
     "top_orders",
     "doc_token_counts",
     "dedup_minhash_docs",
+    # round-3 training-prep additions: the prefix-sum/packing path
+    # (sort + per-block offset exchange) and the n-gram
+    # decontamination semi-join
+    "doc_chunks_packed",
+    "contaminated_train",
 ]
 
 
