@@ -2928,3 +2928,90 @@ ORACLE_SQL.update(
         "contaminated_train": SQL_CONTAMINATED_TRAIN,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 8: cross join (dense grid) — completes the join family.
+
+
+def q_nation_event_grid(sf_dir: str):
+    """J5: cross join for a dense grid — every (nation, event_type)
+    combination with the count of events whose user maps to that
+    nation, ZEROS KEPT (the cross join's purpose: downstream
+    consumers want the full matrix). Plan: the fact side aggregates
+    FIRST (events ⋈ customer hash join, nation broadcast, combiner
+    count — bounded by |nations| x |types|), then the tiny dense grid
+    (25 x 5, built in-memory: both sides are dimensions) left-joins
+    the aggregate via one pyarrow hash join per batch. The cross join
+    itself never touches fact-table scale."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j1 = ops.normalize_blocks(
+        ev.join(
+            cust,
+            join_type="inner",
+            num_partitions=NUM_JOIN_PARTITIONS,
+            on=("user_id",),
+            right_on=("c_custkey",),
+        ),
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("c_nationkey", pa.int32()),
+            ]
+        ),
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    j2 = ops.broadcast_join(
+        j1, nation, keys=["c_nationkey"], right_keys=["n_nationkey"]
+    )
+    counts = ops.collect_table(
+        ops.grouped_sum_count(
+            j2.select_columns(["n_name", "event_type"]),
+            keys=["n_name", "event_type"],
+            sums=[],
+            count_alias="n",
+        ),
+        schema=pa.schema(
+            [("n_name", pa.string()), ("event_type", pa.string()), ("n", pa.int64())]
+        ),
+    )
+    names = nation["n_name"].to_pylist()
+    grid = pa.table(
+        {
+            "n_name": pa.array(np.repeat(names, len(EVENT_TYPES))),
+            "event_type": pa.array(np.tile(np.array(EVENT_TYPES), len(names))),
+        }
+    )
+    out = grid.join(counts, keys=["n_name", "event_type"], join_type="left outer")
+    return pa.table(
+        {
+            "n_name": out["n_name"],
+            "event_type": out["event_type"],
+            "n": pc.fill_null(out["n"], 0),
+        }
+    )
+
+
+SQL_NATION_EVENT_GRID = """
+WITH grid AS (
+  SELECT n_name, event_type
+  FROM nation CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+),
+c AS (
+  SELECT n_name, event_type, COUNT(*) AS n
+  FROM events
+  JOIN customer ON c_custkey = user_id
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1, 2
+)
+SELECT grid.n_name, grid.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM grid LEFT JOIN c USING (n_name, event_type)
+"""
+
+
+QUERIES.update({"nation_event_grid": q_nation_event_grid})
+ORACLE_SQL.update({"nation_event_grid": SQL_NATION_EVENT_GRID})

@@ -65,3 +65,31 @@ def test_with_global_index_layout_independent(ray_session):
         assert (out["idx"].to_numpy() == np.arange(20_000)).all()
         v = out["v"].to_numpy()
         assert (out["run"].to_numpy() == np.cumsum(v) - v).all()
+
+
+def test_source_format_roundtrip(ray_session, tmp_path):
+    """§2.1: CSV and JSONL adapters round-trip the same rows the
+    parquet source produces (int/string columns — interchange types)."""
+    import pandas as pd
+
+    from kgray import sources
+
+    base = sources.read_table(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_id", "user_id", "event_type"],
+    )
+    want = base.to_pandas().sort_values("event_id", ignore_index=True)
+
+    for fmt in ("csv", "jsonl"):
+        out = str(tmp_path / fmt)
+        sources.write_table(base, out, format=fmt)
+        got = (
+            sources.read_table(
+                out, format=fmt, columns=["event_id", "user_id", "event_type"]
+            )
+            .to_pandas()
+            .sort_values("event_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"event_id": "int64", "user_id": "int64"}), want, check_like=True
+        )
