@@ -779,30 +779,15 @@ def seeded_sample_sql(
     *, num: int = 1, den: int = 20, seed: int = 42,
 ) -> str:
     """The DuckDB-equivalent of `seeded_sample` (HUGEINT splitmix64 —
-    bit-identical to the numpy kernel; prototype-verified)."""
+    bit-identical to the numpy kernel; prototype-verified). Delegates
+    the hash pipeline to `splitmix64_sql` so the bit-exact arithmetic
+    lives in exactly one place."""
     thresh = (1 << 64) * num // den
     cols = ", ".join(out_cols)
-
-    def mul64(expr: str, const: int) -> str:
-        # (expr * const) mod 2^64 without overflowing signed INT128:
-        # split expr into 32-bit halves (each partial product < 2^96)
-        lo = f"(({expr} % 4294967296::UBIGINT)::HUGEINT * {const}::HUGEINT)"
-        hi = f"((({expr} >> 32)::HUGEINT * {const}::HUGEINT) % 4294967296::HUGEINT)"
-        return (
-            f"((({lo} % 18446744073709551616::HUGEINT) + {hi} * 4294967296::HUGEINT)"
-            " % 18446744073709551616::HUGEINT)::UBIGINT"
-        )
-
-    m1 = mul64("xor(x0, x0 >> 30)", 0xBF58476D1CE4E5B9)
-    m2 = mul64("xor(x1, x1 >> 27)", 0x94D049BB133111EB)
     return f"""
-WITH s AS (
-  SELECT {cols}, xor({key_col}::UBIGINT, {seed}::UBIGINT) AS x0 FROM {table_sql}
-),
-s1 AS (SELECT *, {m1} AS x1 FROM s),
-s2 AS (SELECT *, {m2} AS x2 FROM s1)
-SELECT {cols} FROM s2
-WHERE xor(x2, x2 >> 31) < {thresh}::UBIGINT
+SELECT {cols} FROM (
+{splitmix64_sql(table_sql, key_col, out_cols, seed=seed)}
+) WHERE h < {thresh}::UBIGINT
 """
 
 
@@ -929,7 +914,12 @@ def group_lag(
         g = g.sort_values(order_cols, ignore_index=True)
         out = g.copy()
         for src, alias in lag_cols.items():
-            out[alias] = g[src].shift(1)
+            shifted = g[src].shift(1)
+            if pd.api.types.is_integer_dtype(g[src]):
+                # plain shift widens int64 to float64 (silent value
+                # corruption above 2^53); keep exact via nullable Int64
+                shifted = g[src].astype("Int64").shift(1)
+            out[alias] = shifted
         return out
 
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")

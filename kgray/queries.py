@@ -1656,7 +1656,9 @@ def q_events_stratified_sample(sf_dir: str):
         h = ops._mix64(k ^ sd)
         thresh = np.zeros(len(k), dtype=np.uint64)
         for t, (num, den) in STRATA_RATES.items():
-            m = pc.equal(et, t).to_numpy(zero_copy_only=False)
+            # fill_null: a null event_type must yield a bool mask, not
+            # an object-dtype array (null rows fall in no stratum)
+            m = pc.fill_null(pc.equal(et, t), False).to_numpy(zero_copy_only=False)
             thresh[m] = np.uint64((1 << 64) * num // den)
         return b.filter(pa.array(h < thresh))
 
@@ -1730,7 +1732,9 @@ def q_orders_rollup(sf_dir: str):
         {
             "o_year": pa.array(["ALL"]),
             "priority": pa.array(["ALL"]),
-            "n": pa.array([pc.sum(fine["n"]).as_py()], type=pa.int64()),
+            # COUNT over empty input is 0 (SUM stays NULL) — match
+            # DuckDB's empty-ROLLUP grand-total row exactly
+            "n": pa.array([pc.sum(fine["n"]).as_py() or 0], type=pa.int64()),
             "sum_cents": pa.array([pc.sum(fine["sum_cents"]).as_py()], type=pa.int64()),
         }
     )
@@ -1927,7 +1931,10 @@ def q_events_kmv_distinct(sf_dir: str):
         )
         types, hs = [], []
         for t in pc.unique(et).to_pylist():
-            m = pc.equal(et, t).to_numpy(zero_copy_only=False)
+            if t is None:
+                continue  # null-typed rows belong to no group
+            # fill_null keeps the mask bool-dtype when et has nulls
+            m = pc.fill_null(pc.equal(et, t), False).to_numpy(zero_copy_only=False)
             u = np.unique(h[m])[:K]
             types.extend([t] * len(u))
             hs.append(u)
@@ -1980,6 +1987,22 @@ FROM k
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def _assert_known_event_types(et: pa.Array) -> None:
+    """The pivot/string-agg/unpivot/grid family pins its column set to
+    EVENT_TYPES at plan-build time — a value outside the list would
+    silently vanish from the output (and diverge from the SQL oracle),
+    so fail loudly per batch instead (unique() per batch is cheap)."""
+    bad = [
+        t
+        for t in pc.unique(et).to_pylist()
+        if t is not None and t not in EVENT_TYPES
+    ]
+    if bad:
+        raise ValueError(
+            f"unexpected event_type values {bad!r}: extend EVENT_TYPES"
+        )
+
+
 def q_user_event_pivot(sf_dir: str):
     """A7: pivot / wide aggregate — one row per user, one count column
     per event_type plus the total. The pivot happens INSIDE the
@@ -1991,6 +2014,7 @@ def q_user_event_pivot(sf_dir: str):
     def ind(b: pa.Table) -> pa.Table:
         cols = {"user_id": b["user_id"]}
         et = b["event_type"].combine_chunks()
+        _assert_known_event_types(et)
         for t in EVENT_TYPES:
             cols[f"n_{t}"] = pc.cast(pc.equal(et, t), pa.int64())
         return pa.table(cols)
@@ -2031,6 +2055,7 @@ def q_user_event_types(sf_dir: str):
     def ind(b: pa.Table) -> pa.Table:
         cols = {"user_id": b["user_id"]}
         et = b["event_type"].combine_chunks()
+        _assert_known_event_types(et)
         for t in EVENT_TYPES:
             cols[f"p_{t}"] = pc.cast(pc.equal(et, t), pa.int64())
         return pa.table(cols)
@@ -2292,24 +2317,11 @@ def q_doc_bigrams_top20(sf_dir: str):
     boundary), then `ops.frequent_items`: combiner counts bound the
     shuffle to distinct bigrams, deterministic (count desc, bigram
     asc) top-20."""
-    ds = _read(sf_dir, "documents", ["text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def bigrams(b: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
-        offs = toks.offsets.to_numpy().astype(np.int64)
-        flat = toks.values
-        # positions i where (i, i+1) stay inside one doc:
-        # all i in [0, len(flat)-1) except doc-end indices offs[1:]-1
-        n = len(flat)
-        keep = np.ones(max(n - 1, 0), dtype=bool)
-        ends = offs[1:] - 1
-        keep[ends[(ends >= 0) & (ends < n - 1)]] = False
-        idx = np.flatnonzero(keep)
-        left = flat.take(pa.array(idx))
-        right = flat.take(pa.array(idx + 1))
-        return pa.table(
-            {"bg": pc.binary_join_element_wise(left, right, " ")}
-        )
+        g = _gram_batch(b, k=2)
+        return pa.table({"bg": g["gram"]})
 
     bg = ds.map_batches(bigrams, batch_format="pyarrow")
     return ops.frequent_items(bg, "bg", BIGRAM_TOPK)
@@ -2785,24 +2797,7 @@ def q_doc_repetition(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def rep(b: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
-        offs = toks.offsets.to_numpy().astype(np.int64)
-        flat = toks.values
-        doc_np = b["doc_id"].combine_chunks().to_numpy()
-        nb = np.maximum(np.diff(offs) - 1, 0)  # bigrams per doc
-        n = len(flat)
-        keep = np.ones(max(n - 1, 0), dtype=bool)
-        ends = offs[1:] - 1
-        keep[ends[(ends >= 0) & (ends < n - 1)]] = False
-        idx = np.flatnonzero(keep)
-        t = pa.table(
-            {
-                "doc_id": pa.array(np.repeat(doc_np, nb)),
-                "bg": pc.binary_join_element_wise(
-                    flat.take(pa.array(idx)), flat.take(pa.array(idx + 1)), " "
-                ),
-            }
-        )
+        t = _gram_batch(b, k=2).rename_columns(["doc_id", "bg"])
         c = t.group_by(["doc_id", "bg"]).aggregate([("bg", "count")])
         a = c.group_by("doc_id").aggregate(
             [("bg_count", "sum"), ("bg_count", "max")]
@@ -2839,12 +2834,16 @@ FROM c GROUP BY doc_id
 DECON_K = 4  # n-gram order for contamination matching
 
 
-def _gram_batch(b: pa.Table, mask: np.ndarray) -> pa.Table:
-    """(doc_id, gram) rows of DECON_K-grams for the masked docs of a
-    batch — all offset arithmetic, K shifted takes and one
-    element-wise join; no per-row loop."""
-    K = DECON_K
-    sub = b.filter(pa.array(mask))
+def _gram_batch(
+    b: pa.Table, mask: np.ndarray | None = None, k: int = DECON_K
+) -> pa.Table:
+    """(doc_id, gram) rows of k-grams for the (optionally masked) docs
+    of a batch — all offset arithmetic, k shifted takes and one
+    element-wise join; no per-row loop. The ONE copy of the
+    doc-boundary window arithmetic (bigram heavy hitters, repetition
+    stats and decontamination all consume it)."""
+    K = k
+    sub = b if mask is None else b.filter(pa.array(mask))
     toks = pc.split_pattern(sub["text"].combine_chunks(), " ")
     offs = toks.offsets.to_numpy().astype(np.int64)
     flat = toks.values
@@ -2979,6 +2978,7 @@ def q_nation_event_grid(sf_dir: str):
             [("n_name", pa.string()), ("event_type", pa.string()), ("n", pa.int64())]
         ),
     )
+    _assert_known_event_types(counts["event_type"])
     names = nation["n_name"].to_pylist()
     grid = pa.table(
         {
