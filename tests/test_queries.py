@@ -315,3 +315,16 @@ def test_group_quantile_disc_hist_parity(ray_session):
                 )
             )
             assert out["p"].iloc[0] == want, (q, mode)
+
+
+def test_event_type_guard():
+    """The pivot-family static-column guard fails loudly on unknown
+    types and tolerates nulls/known values (no Ray needed)."""
+    import pyarrow as pa
+    import pytest
+
+    from kgray.queries import _assert_known_event_types
+
+    _assert_known_event_types(pa.array(["click", "view", None]))
+    with pytest.raises(ValueError, match="login"):
+        _assert_known_event_types(pa.array(["click", "login"]))
