@@ -3015,3 +3015,108 @@ FROM grid LEFT JOIN c USING (n_name, event_type)
 
 QUERIES.update({"nation_event_grid": q_nation_event_grid})
 ORACLE_SQL.update({"nation_event_grid": SQL_NATION_EVENT_GRID})
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 9: quality-weighted sampling + per-source cap
+# (training-data curation: sample by score, enforce source quotas).
+
+WSAMPLE_SEED = 99
+
+
+def q_events_weighted_sample(sf_dir: str):
+    """X38: weighted (quality-score) sampling — keep each row with
+    probability p = clip(value/100, 0, 1), membership = splitmix64
+    hash < floor(p * 2^64): deterministic (pure function of key and
+    score), resumable, identical across cluster sizes, and the float
+    arithmetic is a single division+multiply+floor on both sides so
+    the oracle is EXACT. The p >= 1 rows are kept outright (2^64
+    itself does not fit the threshold integer)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    sd = np.uint64(WSAMPLE_SEED)
+    TWO64 = float(1 << 64)
+
+    def f(b: pa.Table) -> pa.Table:
+        k = b["event_id"].combine_chunks().to_numpy().astype(np.int64).view(np.uint64)
+        h = ops._mix64(k ^ sd)
+        v = b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        p = np.clip(v / 100.0, 0.0, 1.0)
+        full = p >= 1.0
+        thresh = np.floor(p * TWO64)
+        # cast via float64 -> uint64 is exact for thresh < 2^64
+        keep = full | (h < np.where(full, 0.0, thresh).astype(np.uint64))
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_size=None, batch_format="pyarrow")
+
+
+SQL_EVENTS_WEIGHTED_SAMPLE = """
+WITH s AS ({hash_cte})
+SELECT event_id, event_type, value FROM s
+WHERE LEAST(GREATEST(value / 100.0, 0.0), 1.0) >= 1.0
+   OR h < CAST(FLOOR(LEAST(GREATEST(value / 100.0, 0.0), 1.0)
+               * 18446744073709551616.0) AS UBIGINT)
+""".format(
+    hash_cte=ops.splitmix64_sql(
+        "events", "event_id", ["event_id", "event_type", "value"],
+        seed=WSAMPLE_SEED,
+    )
+)
+
+
+SOURCE_CAP = 12
+CAP_SEED = 31
+
+
+def q_docs_source_capped(sf_dir: str):
+    """X39: per-source cap enforcement (source quota / domain
+    balancing): keep at most SOURCE_CAP docs per source, chosen by
+    splitmix64 hash rank — a deterministic uniform-without-replacement
+    sample per group (the C4/RefinedWeb 'cap each domain' step).
+    One shuffle on source; `ops.group_topk` sorts (h, doc_id) inside
+    each group, so the kept set is a pure function of the doc ids."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    sd = np.uint64(CAP_SEED)
+
+    def h(b: pa.Table) -> pa.Table:
+        k = b["doc_id"].combine_chunks().to_numpy().astype(np.int64).view(np.uint64)
+        return b.append_column("h", pa.array(ops._mix64(k ^ sd)))
+
+    ranked = ops.group_topk(
+        ds.map_batches(h, batch_size=None, batch_format="pyarrow"),
+        "source",
+        ["h", "doc_id"],
+        SOURCE_CAP,
+        ascending=[True, True],
+    )
+    return ranked.select_columns(["doc_id", "source"])
+
+
+SQL_DOCS_SOURCE_CAPPED = """
+WITH s AS ({hash_cte})
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM s)
+WHERE rn <= {cap}
+""".format(
+    hash_cte=ops.splitmix64_sql(
+        "documents", "doc_id", ["doc_id", "source"], seed=CAP_SEED
+    ),
+    cap=SOURCE_CAP,
+)
+
+
+QUERIES.update(
+    {
+        "events_weighted_sample": q_events_weighted_sample,
+        "docs_source_capped": q_docs_source_capped,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "events_weighted_sample": SQL_EVENTS_WEIGHTED_SAMPLE,
+        "docs_source_capped": SQL_DOCS_SOURCE_CAPPED,
+    }
+)
