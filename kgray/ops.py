@@ -996,3 +996,162 @@ def group_quantile_disc(
         return pd.DataFrame({key: [g[key].iloc[0]], out_col: [v[idx]]})
 
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def drop_empty_blocks(ds: Dataset) -> Dataset:
+    """Compact away zero-row blocks (metadata-only; data never moves
+    or leaves the object store).
+
+    Why this exists: Ray 2.49's hash-shuffle join broadcasts each
+    input's schema to the aggregator actors only from the FIRST
+    shuffle task of that side — and `_shuffle_block` returns early,
+    WITHOUT broadcasting, when its block has zero rows
+    (hash_shuffle.py:223), while the submit-time
+    `_has_schemas_broadcasted` flag is already set. A join input whose
+    first block is empty therefore never delivers its schema, and any
+    hash partition that receives no rows finalizes as a ZERO-COLUMN
+    table, crashing pyarrow's join with ArrowInvalid ("No match ...
+    on left/right side"). Deterministic repro (empty first block +
+    any partition with no matching keys); this is the likely root
+    cause of the intermittent flake `normalize_blocks` guards
+    downstream consumers against. Run join INPUTS through this helper
+    when they may contain empty blocks (e.g. outputs of a groupby
+    over few keys, or of a selective filter)."""
+    import ray.data as rd
+
+    m = ds.materialize()
+    bundles = list(m.iter_internal_ref_bundles())
+    keep = [
+        ref
+        for bundle in bundles
+        for ref, meta in zip(bundle.block_refs, bundle.metadata)
+        if meta.num_rows is None or meta.num_rows > 0
+    ]
+    if not keep:
+        return m  # all-empty: keep as-is (schema preserved)
+    total = sum(len(b.block_refs) for b in bundles)
+    if len(keep) == total:
+        return m
+    return rd.from_arrow_refs(keep)
+
+
+def connected_components_distributed(
+    edges: Dataset,
+    src: str = "a",
+    dst: str = "b",
+    *,
+    num_partitions: int = 16,
+    max_iters: int = 50,
+) -> Dataset:
+    """G1: distributed connected components by iterative min-label
+    propagation — the at-scale replacement for a driver-side
+    union-find when the edge set itself no longer fits one machine
+    (near-dup clustering over billions of pairs). Returns one row per
+    node appearing in `edges`: (node, label) with label = the
+    component's minimum node id.
+
+    Per iteration: ONE hash join pushes each node's current label to
+    its neighbors, a combiner groupby takes the min, and a join
+    against the previous labels counts changes (labels decrease
+    monotonically over a fixed node set, so changed == 0 is
+    convergence — reached in O(component diameter) min-propagation
+    rounds; near-dup clusters are near-cliques, so 2-3 in practice).
+    Everything stays a Dataset; the driver sees only the
+    per-iteration changed-count. Label tables are compacted with
+    `drop_empty_blocks` before each join (see its docstring for the
+    Ray 2.49 empty-first-block join hazard)."""
+
+    def sym(b: pa.Table) -> pa.Table:
+        u = pa.concat_arrays(
+            [b[src].combine_chunks(), b[dst].combine_chunks()]
+        )
+        v = pa.concat_arrays(
+            [b[dst].combine_chunks(), b[src].combine_chunks()]
+        )
+        return pa.table({"u": u, "v": v})
+
+    E = drop_empty_blocks(
+        edges.map_batches(sym, batch_size=None, batch_format="pyarrow")
+    )
+
+    labels = drop_empty_blocks(
+        distinct(E.select_columns(["u"]), ["u"]).map_batches(
+            lambda b: pa.table({"node": b["u"], "label": b["u"]}),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+    )
+    lbl_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    for _ in range(max_iters):
+        nb = labels.map_batches(
+            lambda b: pa.table({"jn": b["node"], "nl": b["label"]}),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+        # neighbor label push: edge (u, v) receives v's current label
+        cand = normalize_blocks(
+            E.join(
+                nb,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("v",),
+                right_on=("jn",),
+            ),
+            pa.schema([("u", pa.int64()), ("v", pa.int64()), ("nl", pa.int64())]),
+        ).map_batches(
+            lambda b: pa.table({"node": b["u"], "label": b["nl"]}),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+        merged = cand.union(labels)
+        # compact: the aggregate leaves empty blocks on sparse
+        # partitions; an empty block leading either join input would
+        # suppress Ray's schema broadcast (see drop_empty_blocks).
+        new = drop_empty_blocks(
+            normalize_blocks(
+                merged.map_batches(  # combiner: per-block min before the shuffle
+                    lambda b: b.group_by(["node"]).aggregate([("label", "min")])
+                    .rename_columns(["node", "label"]),
+                    batch_size=None,
+                    batch_format="pyarrow",
+                )
+                .groupby("node")
+                .aggregate(Min("label"))
+                .map_batches(
+                    lambda b: pa.table({"node": b["node"], "label": b["min(label)"]}),
+                    batch_size=None,
+                    batch_format="pyarrow",
+                ),
+                lbl_schema,
+            )
+        )
+        old = labels.map_batches(
+            lambda b: pa.table({"on": b["node"], "ol": b["label"]}),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+        changed = (
+            normalize_blocks(
+                new.join(
+                    old,
+                    join_type="inner",
+                    num_partitions=num_partitions,
+                    on=("node",),
+                    right_on=("on",),
+                ),
+                pa.schema(
+                    [("node", pa.int64()), ("label", pa.int64()), ("ol", pa.int64())]
+                ),
+            )
+            .map_batches(
+                lambda b: b.filter(pc.less(b["label"], b["ol"])),
+                batch_size=None,
+                batch_format="pyarrow",
+            )
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return normalize_blocks(labels, lbl_schema)

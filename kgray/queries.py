@@ -3120,3 +3120,48 @@ ORACLE_SQL.update(
         "docs_source_capped": SQL_DOCS_SOURCE_CAPPED,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# G1: distributed connected components (round 3). The driver-side
+# union-find in dedup.minhash_dedup_docs assumes the verified pair set
+# fits the driver; ops.connected_components_distributed is the
+# at-scale replacement (iterative min-label propagation — the whole
+# label table stays a Dataset). This query runs it over the same
+# MinHash pair detector; the oracle computes the identical labels in
+# SQL with a recursive min-label CTE over the independent sequential
+# reference's pair golden.
+
+
+def q_dedup_components_docs(sf_dir: str):
+    from . import pipeline
+    from .extras import dedup
+
+    with pipeline.hash_shuffle_ctx():
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        pairs = dedup.minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
+        cc = ops.connected_components_distributed(
+            ray.data.from_arrow(pairs.select(["a", "b"])),
+            "a",
+            "b",
+            num_partitions=8,
+        )
+        return cc
+
+
+QUERIES["dedup_components_docs"] = q_dedup_components_docs
+
+ORACLE_SQL["dedup_components_docs"] = f"""
+WITH RECURSIVE sym AS (
+  SELECT a AS src, b AS tgt
+  FROM read_parquet('{_GOLDEN_DIR}/sf001_dedup_minhash.parquet')
+  UNION ALL
+  SELECT b, a FROM read_parquet('{_GOLDEN_DIR}/sf001_dedup_minhash.parquet')
+),
+comp(id, lbl) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.tgt, c.lbl FROM comp c JOIN sym s ON s.src = c.id
+)
+SELECT id AS node, MIN(lbl) AS label FROM comp GROUP BY id
+"""

@@ -93,3 +93,70 @@ def test_source_format_roundtrip(ray_session, tmp_path):
         pd.testing.assert_frame_equal(
             got.astype({"event_id": "int64", "user_id": "int64"}), want, check_like=True
         )
+
+
+def test_connected_components_distributed(ray_session):
+    """G1: distributed min-label propagation == driver union-find,
+    including the Ray 2.49 empty-first-block join hazard (an empty
+    leading block used to suppress the join's schema broadcast —
+    drop_empty_blocks compacts it away)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray import ops
+
+    # path + pair + triangle, fed with an empty FIRST block on purpose
+    sch = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    edges = rd.from_arrow(
+        [sch.empty_table(), pa.table({"a": [2, 3, 7, 10, 21, 22], "b": [1, 2, 3, 11, 20, 21]})]
+    )
+    out = ops.connected_components_distributed(edges, "a", "b", num_partitions=4)
+    lab = {r["node"]: r["label"] for r in out.take_all()}
+    assert lab == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    # random graph vs an independent union-find
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 800, 1500).astype("int64")
+    b = rng.integers(0, 800, 1500).astype("int64")
+    keep = a != b
+    a, b = a[keep], b[keep]
+    got = {
+        r["node"]: r["label"]
+        for r in ops.connected_components_distributed(
+            rd.from_arrow(pa.table({"a": a, "b": b})), num_partitions=4
+        ).take_all()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    comps: dict[int, list[int]] = {}
+    for x in set(a.tolist()) | set(b.tolist()):
+        comps.setdefault(find(x), []).append(x)
+    want = {x: min(nodes) for nodes in comps.values() for x in nodes}
+    assert got == want
+
+
+def test_drop_empty_blocks(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray import ops
+
+    sch = pa.schema([("x", pa.int64())])
+    ds = rd.from_arrow([sch.empty_table(), pa.table({"x": [1]}), sch.empty_table()])
+    out = ops.drop_empty_blocks(ds)
+    assert out.count() == 1 and out.num_blocks() == 1
+    # all-empty input keeps its schema
+    out2 = ops.drop_empty_blocks(rd.from_arrow([sch.empty_table()]))
+    assert out2.count() == 0 and out2.schema().names == ["x"]
