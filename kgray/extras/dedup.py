@@ -501,7 +501,7 @@ def _shingle_set(t: str, k: int) -> set:
     return set(t[x : x + k] for x in range(max(1, len(t) - k + 1)))
 
 
-def minhash_lsh_pairs(
+def minhash_lsh_pairs_ds(
     ds: Dataset,
     text_col: str,
     id_col: str,
@@ -510,13 +510,15 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
-) -> pa.Table:
-    """Near-duplicate pairs (a, b, jaccard) with exact-Jaccard verify.
+) -> Dataset:
+    """Near-duplicate pairs (a, b, jaccard) with exact-Jaccard verify,
+    as a DATASET — nothing is collected to the driver. This is the
+    at-scale form: downstream consumers (connected components, pair
+    sinks) keep the pair set distributed.
 
     Verification is distributed: candidate pairs hash-join back to the
     text table on `a` then `b` (join_pair_payload) and the exact
-    Jaccard runs inside `map_batches`; only the verified pairs (the
-    bounded result) are collected."""
+    Jaccard runs inside `map_batches`."""
     n_docs = ds.count()  # metadata-cheap on a raw read
     bands_ds = minhash_bands(
         ds, text_col, id_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
@@ -552,7 +554,26 @@ def minhash_lsh_pairs(
             }
         )
 
-    out = withtext.map_batches(verify, batch_format="pyarrow")
+    return withtext.map_batches(verify, batch_format="pyarrow")
+
+
+def minhash_lsh_pairs(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> pa.Table:
+    """Collected form of `minhash_lsh_pairs_ds` — only the verified
+    pairs (the bounded result, O(duplicates) not O(corpus)) reach the
+    driver, sorted (a, b) for determinism."""
+    out = minhash_lsh_pairs_ds(
+        ds, text_col, id_col,
+        threshold=threshold, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+    )
     return ops.collect_table(
         out,
         schema=pa.schema(
@@ -592,6 +613,14 @@ def connected_components(pairs: pa.Table) -> dict[int, int]:
     return {x: find(x) for x in nodes}
 
 
+# Above this many verified pairs the removal step stops collecting
+# them to the driver (union-find) and runs the distributed min-label
+# propagation instead. 5M pairs ≈ 120 MB on the driver — comfortable
+# below, corpus-dependent above (a 100-TB crawl with a 30% dup rate
+# produces billions of pairs).
+DRIVER_PAIRS_GATE = 5_000_000
+
+
 def minhash_dedup_docs(
     ds: Dataset,
     text_col: str,
@@ -601,32 +630,61 @@ def minhash_dedup_docs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    components: str = "auto",
+    driver_pairs_gate: int = DRIVER_PAIRS_GATE,
 ) -> Dataset:
     """Near-duplicate REMOVAL (the training-data pipeline's actual
     dedup step, on top of the pair detector): MinHash+LSH pairs ->
     connected components -> keep only each component's minimum id.
 
     Scale shape: the expensive part (pair detection) is the existing
-    distributed pipeline; the component labels live on the bounded
-    verified-pair set (driver union-find); the removal id set — only
-    non-minimum members of dup clusters, ≪ corpus — broadcasts once
-    (`ray.put`) and the corpus is filtered map-side. Nothing
-    corpus-sized leaves the workers."""
+    distributed pipeline. Component labeling is size-gated
+    (`components="auto"`): below `driver_pairs_gate` verified pairs
+    the bounded pair set collects to a driver union-find and the
+    removal-id set — only non-minimum members of dup clusters,
+    ≪ corpus — broadcasts once (`ray.put`) with a map-side filter;
+    above the gate (or `components="distributed"`) the pair set stays
+    a Dataset end to end: `ops.connected_components_distributed`
+    labels it by iterative min-label joins and the corpus is pruned
+    with the size-gated `ops.anti_join`. Nothing corpus-sized ever
+    leaves the workers on either path (parity-tested)."""
     import ray as _ray
 
-    pairs = minhash_lsh_pairs(
+    pairs_ds = minhash_lsh_pairs_ds(
         ds, text_col, id_col,
         threshold=threshold, num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+    ).materialize()  # executed once; reused by whichever path wins
+    use_driver = components == "driver" or (
+        components == "auto" and pairs_ds.count() <= driver_pairs_gate
     )
-    labels = connected_components(pairs)
-    drop = sorted(x for x, root in labels.items() if root != x)
-    dropref = _ray.put(pa.array(drop, type=pa.int64()))
+    if use_driver:
+        pairs = ops.collect_table(
+            pairs_ds,
+            schema=pa.schema(
+                [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+            ),
+            sort_by=["a", "b"],
+        )
+        labels = connected_components(pairs)
+        drop = sorted(x for x, root in labels.items() if root != x)
+        dropref = _ray.put(pa.array(drop, type=pa.int64()))
 
-    def keep(batch: pa.Table) -> pa.Table:
-        mask = pc.invert(pc.is_in(batch[id_col], value_set=_ray.get(dropref)))
-        return batch.filter(mask)
+        def keep(batch: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(batch[id_col], value_set=_ray.get(dropref)))
+            return batch.filter(mask)
 
-    return ds.map_batches(keep, batch_size=None, batch_format="pyarrow")
+        return ds.map_batches(keep, batch_size=None, batch_format="pyarrow")
+
+    # distributed path: labels and drop ids stay Datasets
+    labels_ds = ops.connected_components_distributed(pairs_ds, "a", "b")
+    drop_ds = labels_ds.map_batches(
+        lambda b: pa.table(
+            {"node": b["node"].filter(pc.not_equal(b["node"], b["label"]))}
+        ),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+    return ops.anti_join(ds, id_col, drop_ds, "node")
 
 
 # ---------------------------------------------------------------------------

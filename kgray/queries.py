@@ -3139,12 +3139,10 @@ def q_dedup_components_docs(sf_dir: str):
 
     with pipeline.hash_shuffle_ctx():
         ds = _read(sf_dir, "documents", ["doc_id", "text"])
-        pairs = dedup.minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5)
+        # pair set stays a Dataset end to end — no driver round-trip
+        pairs_ds = dedup.minhash_lsh_pairs_ds(ds, "text", "doc_id", threshold=0.5)
         cc = ops.connected_components_distributed(
-            ray.data.from_arrow(pairs.select(["a", "b"])),
-            "a",
-            "b",
-            num_partitions=8,
+            pairs_ds, "a", "b", num_partitions=8
         )
         return cc
 

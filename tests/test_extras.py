@@ -415,6 +415,19 @@ def test_connected_components_and_dedup_remove(ray_session):
     out = dedup.minhash_dedup_docs(ds, "text", "doc_id").to_pandas()
     assert sorted(out["doc_id"]) == [0, 3, 4]
 
+    # the at-scale path (pairs stay a Dataset; distributed min-label
+    # components + size-gated anti_join) must agree with the driver
+    # union-find path row for row
+    out_d = dedup.minhash_dedup_docs(
+        ds, "text", "doc_id", components="distributed"
+    ).to_pandas()
+    assert sorted(out_d["doc_id"]) == [0, 3, 4]
+    # and auto with a zero gate must route to the distributed path
+    out_a = dedup.minhash_dedup_docs(
+        ds, "text", "doc_id", components="auto", driver_pairs_gate=0
+    ).to_pandas()
+    assert sorted(out_a["doc_id"]) == [0, 3, 4]
+
 
 def test_knn_ivf_indexed_equals_unindexed(ray_session, tmp_path):
     """The cell-partitioned on-disk IVF index must return exactly the
