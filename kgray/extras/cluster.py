@@ -1,0 +1,245 @@
+"""Distributed k-means (full-corpus Lloyd) and SemDeDup-style
+semantic near-dedup over an embedding column.
+
+This is the clustering counterpart of the sketch dedup family
+(task brief: "embedding-cosine near-dup"; SemDeDup, Abbas et al.
+2023, arXiv:2303.09540 — cluster the corpus, then greedily drop
+within-cluster semantic near-duplicates). Unlike
+`annsearch.kmeans_centroids` (a driver-side seeded quantizer over a
+bounded SAMPLE, used only to build IVF cells), `kmeans_fit` here runs
+Lloyd iterations over the ENTIRE corpus distributed: per iteration
+one `map_batches` pass assigns every vector and emits per-cell
+partial sums (a combiner — at most k rows per block leave a worker),
+one small `groupby("cell").sum` merges them, and only the (k, d)
+centroid table ever reaches the driver.
+
+Determinism protocol (the spec shared with
+reference_impl/sketch.py's sequential twin, same constants):
+every embedding is quantized ONCE to an int64 grid
+(`round(x * 2**20)`), so partial sums are exact integers — immune to
+float summation order across blocks/workers — and the centroid
+update `sum / n / 2**20` is bit-identical no matter how rows were
+partitioned. Distances and cosines are computed in float64 from the
+dequantized values with one fixed formula on both sides. Ties in
+argmin resolve to the lowest cell index on both sides.
+
+Scale shape: centroids broadcast via `ray.put` once per iteration;
+assignment is chunked GEMM-free numpy (memory-bounded); SemDeDup's
+greedy pass runs per cluster inside `groupby(cell).map_groups` —
+the documented partitioning assumption is that one cluster fits one
+worker (at production scale k is chosen so corpus/k does, exactly as
+SemDeDup prescribes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from .annsearch import _to_matrix
+from .dedup import _mix64
+
+QSCALE = float(1 << 20)
+KMEANS_SEED = 11
+SPLITMIX_INIT = np.uint64(0x9E3779B97F4A7C15)
+_ASSIGN_CHUNK = 512  # rows per distance-matrix chunk (bounds memory)
+
+
+def _quant(m: np.ndarray) -> np.ndarray:
+    """float embedding -> exact int64 grid (spec: round(x * 2**20))."""
+    return np.rint(m.astype(np.float64) * QSCALE).astype(np.int64)
+
+
+def _deq(q: np.ndarray) -> np.ndarray:
+    return q.astype(np.float64) / QSCALE
+
+
+def _assign(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Row-wise nearest centroid, chunked: argmin_j sum_d (v-c)^2 in
+    float64 (first-minimum tie-break = lowest cell, both sides)."""
+    out = np.empty(len(V), dtype=np.int64)
+    for s in range(0, len(V), _ASSIGN_CHUNK):
+        chunk = V[s : s + _ASSIGN_CHUNK]
+        d2 = ((chunk[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        out[s : s + _ASSIGN_CHUNK] = d2.argmin(axis=1)
+    return out
+
+
+def _rank_ids(ids: np.ndarray, seed: int) -> np.ndarray:
+    """Deterministic pseudo-random rank per id (uint64 splitmix)."""
+    return _mix64(ids.astype(np.uint64) ^ (SPLITMIX_INIT * np.uint64(seed)))
+
+
+def kmeans_init(
+    ds: Dataset, vec_col: str, id_col: str, k: int, seed: int = KMEANS_SEED
+) -> np.ndarray:
+    """(k, d) float64 seed centroids: the vectors of the k ids with the
+    smallest (splitmix64(id ^ f(seed)), id) rank — a deterministic
+    pseudo-random draw that needs no global sort: each block forwards
+    only its own top-k (rank, id, vec) rows, the driver merges
+    <= k * num_blocks candidate rows."""
+
+    def block_top(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        rank = _rank_ids(ids, seed)
+        order = np.lexsort((ids, rank))[:k]
+        return pa.table(
+            {
+                "rank": pa.array(rank[order], type=pa.uint64()),
+                "id": pa.array(ids[order], type=pa.int64()),
+                "vec": batch[vec_col].combine_chunks().take(pa.array(order)),
+            }
+        )
+
+    cand = ds.map_batches(block_top, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: (r["rank"], r["id"]))
+    vecs = np.array([r["vec"] for r in cand[:k]])
+    return _deq(_quant(vecs))
+
+
+def kmeans_fit(
+    ds: Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    k: int = 10,
+    iters: int = 8,
+    seed: int = KMEANS_SEED,
+) -> np.ndarray:
+    """Full-corpus distributed Lloyd: `iters` fixed iterations (no
+    convergence test — keeps the run count, and therefore the output,
+    deterministic). Returns the (k, d) float64 centroid table. Empty
+    cells keep their previous centroid."""
+    cents = kmeans_init(ds, vec_col, id_col, k, seed)
+    d = cents.shape[1]
+    sum_cols = [f"s{j}" for j in range(d)]
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            C = ray.get(cref)
+            Q = _quant(_to_matrix(batch[vec_col]))
+            a = _assign(_deq(Q), C)
+            sums = np.zeros((k, d), dtype=np.int64)
+            np.add.at(sums, a, Q)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            nz = np.flatnonzero(counts)
+            cols: dict = {
+                "cell": pa.array(nz.astype(np.int64), type=pa.int64()),
+                "n": pa.array(counts[nz], type=pa.int64()),
+            }
+            for j, name in enumerate(sum_cols):
+                cols[name] = pa.array(sums[nz, j], type=pa.int64())
+            return pa.table(cols)
+
+        agg = (
+            ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("cell")
+            .aggregate(Sum("n"), *[Sum(c) for c in sum_cols])
+        )
+        new = cents.copy()
+        for r in agg.take_all():  # <= k rows: the centroid table only
+            c = int(r["cell"])
+            n = int(r["sum(n)"])
+            s = np.array([r[f"sum({name})"] for name in sum_cols], dtype=np.float64)
+            new[c] = s / n / QSCALE
+        cents = new
+    return cents
+
+
+def kmeans_assign(
+    ds: Dataset,
+    cents: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    keep_vec: bool = False,
+) -> Dataset:
+    """(id, cell) assignment under a fixed centroid table (broadcast
+    once). With `keep_vec`, the quantized vector rides along packed as
+    d*8 raw int64 bytes (one binary cell per row — cheap through the
+    groupby shuffle, exact by construction)."""
+    cref = ray.put(cents)
+
+    def _a(batch: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        Q = _quant(_to_matrix(batch[vec_col]))
+        a = _assign(_deq(Q), C)
+        cols = {
+            "vec_id": batch[id_col],
+            "cell": pa.array(a, type=pa.int64()),
+        }
+        if keep_vec:
+            # vectorized binary pack: one contiguous data buffer +
+            # arithmetic offsets (no per-row Python)
+            n, dd = Q.shape
+            offsets = np.arange(n + 1, dtype=np.int32) * (dd * 8)
+            cols["qvec"] = pa.Array.from_buffers(
+                pa.binary(),
+                n,
+                [
+                    None,
+                    pa.py_buffer(offsets.tobytes()),
+                    pa.py_buffer(np.ascontiguousarray(Q).tobytes()),
+                ],
+            )
+        return pa.table(cols)
+
+    return ds.map_batches(_a, batch_format="pyarrow")
+
+
+def _greedy_keep(Q: np.ndarray, theta: float) -> np.ndarray:
+    """SemDeDup greedy inside one cluster, rows already in id order:
+    keep a row unless its cosine to any ALREADY-KEPT row >= theta.
+    Returns the boolean keep mask. O(m * kept * d) numpy; the loop is
+    inherent to the greedy spec (each decision depends on the last)."""
+    V = _deq(Q)
+    norms = np.sqrt((V * V).sum(axis=1))
+    norms[norms == 0.0] = 1.0  # zero vectors: sim 0 to everything
+    U = V / norms[:, None]
+    keep = np.zeros(len(U), dtype=bool)
+    kept_rows: list[int] = []
+    for i in range(len(U)):
+        if not kept_rows or float((U[kept_rows] @ U[i]).max()) < theta:
+            keep[i] = True
+            kept_rows.append(i)
+    return keep
+
+
+def semdedup(
+    ds: Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    k: int = 10,
+    iters: int = 8,
+    theta: float = 0.35,
+    seed: int = KMEANS_SEED,
+) -> Dataset:
+    """Semantic near-dedup (SemDeDup): k-means the corpus, then per
+    cluster greedily keep only vectors whose cosine to every
+    already-kept vector (in ascending id order) is below `theta`.
+    Returns the KEPT (vec_id, cell) rows. The greedy pass runs inside
+    `groupby(cell).map_groups` — one cluster per task."""
+    cents = kmeans_fit(ds, vec_col, id_col, k=k, iters=iters, seed=seed)
+    assigned = kmeans_assign(ds, cents, vec_col, id_col, keep_vec=True)
+
+    def per_cell(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        raw = batch["qvec"].to_pylist()
+        Q = np.frombuffer(b"".join(raw), dtype=np.int64).reshape(len(raw), -1)[order]
+        keep = _greedy_keep(Q, theta)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], type=pa.int64()),
+                "cell": batch["cell"].take(pa.array(order[keep])),
+            }
+        )
+
+    return assigned.groupby("cell").map_groups(per_cell, batch_format="pyarrow")

@@ -1531,6 +1531,40 @@ WHERE d.doc_id NOT IN (SELECT id FROM drops)
 )
 
 
+# X40/X41: distributed full-corpus k-means (Lloyd) and SemDeDup-style
+# semantic near-dedup (kgray/extras/cluster.py). Deterministic by an
+# int64 quantization grid (exact centroid sums regardless of block
+# layout); goldens from the sequential twins reference_impl/sketch.py
+# run_kmeans / run_semdedup (parity is bit-exact, tested).
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    from .extras import cluster
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = cluster.kmeans_fit(ds, k=10, iters=8)
+    return cluster.kmeans_assign(ds, cents)
+
+
+def q_semdedup_embeddings(sf_dir: str):
+    from .extras import cluster
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cluster.semdedup(ds, k=10, iters=8, theta=0.35)
+
+
+QUERIES["kmeans_embeddings"] = q_kmeans_embeddings
+QUERIES["semdedup_embeddings"] = q_semdedup_embeddings
+ORACLE_SQL.update(
+    {
+        "kmeans_embeddings": "SELECT vec_id, cell "
+        f"FROM read_parquet('{_GOLDEN_DIR}/sf001_kmeans.parquet')",
+        "semdedup_embeddings": "SELECT vec_id, cell "
+        f"FROM read_parquet('{_GOLDEN_DIR}/sf001_semdedup.parquet')",
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # Training-data prep operators (round 3 widening): sliding-window
 # document chunking, regex redaction (PII-shaped scrubbing), per-stratum

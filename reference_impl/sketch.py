@@ -401,3 +401,115 @@ def run_cosine_dup_pairs(
             "cos": pa.array([r[2] for r in rows], pa.float64()),
         }
     )
+
+
+# -- distributed-clustering twins (kgray/extras/cluster.py spec) --------------
+
+KM_QSCALE = float(1 << 20)
+KM_SEED_MIX = 0x9E3779B97F4A7C15
+
+
+def _km_setup(
+    table: pa.Table, vec_col: str, id_col: str, k: int, iters: int, seed: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Shared sequential Lloyd run for the cluster-family references.
+
+    Spec (= kgray/extras/cluster.py, same constants): embeddings
+    quantized once to an int64 grid round(x * 2**20) so every centroid
+    sum is an exact integer; init = vectors of the k ids with the
+    smallest (splitmix64(id ^ (KM_SEED_MIX * seed)), id); `iters`
+    fixed iterations; per-row assignment argmin_j sum_d (v - c)^2 in
+    float64 with first-minimum (lowest-cell) tie-break; update
+    sum / n / 2**20; empty cells keep their previous centroid. Returns
+    (ids, Q, V, final_cells). Accumulation here is PYTHON-INT per row
+    — a different code shape from the engine's np.add.at combiner, but
+    exact on both sides, which is the point of the integer grid."""
+    ids = np.asarray(table[id_col].to_pylist(), dtype=np.int64)
+    m = np.array(table[vec_col].to_pylist(), dtype=np.float64)
+    Q = np.rint(m * KM_QSCALE).astype(np.int64)
+    V = Q / KM_QSCALE
+    n, d = V.shape
+    mixseed = (KM_SEED_MIX * seed) & MASK64
+    ranked = sorted(
+        (_splitmix((int(i) & MASK64) ^ mixseed), int(i), pos)
+        for pos, i in enumerate(ids)
+    )
+    C = np.stack([V[pos] for _, _, pos in ranked[:k]])
+    for _ in range(iters):
+        acc = [[0] * d for _ in range(k)]
+        cnt = [0] * k
+        for i in range(n):
+            c = int(((V[i] - C) ** 2).sum(axis=1).argmin())
+            cnt[c] += 1
+            row = Q[i]
+            aj = acc[c]
+            for j in range(d):
+                aj[j] += int(row[j])
+        for c in range(k):
+            if cnt[c]:
+                C[c] = np.array(acc[c], dtype=np.float64) / cnt[c] / KM_QSCALE
+    cells = np.array(
+        [int(((V[i] - C) ** 2).sum(axis=1).argmin()) for i in range(n)],
+        dtype=np.int64,
+    )
+    return ids, Q, V, cells
+
+
+def run_kmeans(
+    table: pa.Table,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    iters: int = 8,
+    seed: int = 11,
+) -> pa.Table:
+    """Sequential reference of cluster.kmeans_fit + kmeans_assign:
+    (vec_id, cell) under the final centroid table, sorted by vec_id."""
+    ids, _, _, cells = _km_setup(table, vec_col, id_col, k, iters, seed)
+    order = np.argsort(ids, kind="stable")
+    return pa.table(
+        {
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "cell": pa.array(cells[order], pa.int64()),
+        }
+    )
+
+
+def run_semdedup(
+    table: pa.Table,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    iters: int = 8,
+    theta: float = 0.35,
+    seed: int = 11,
+) -> pa.Table:
+    """Sequential reference of cluster.semdedup: per final cell, in
+    ascending id order, keep a vector only if its float64 cosine to
+    every already-kept vector in the cell is < theta (zero vectors
+    have cosine 0 to everything). Output = kept (vec_id, cell),
+    sorted (cell, vec_id)."""
+    ids, _, V, cells = _km_setup(table, vec_col, id_col, k, iters, seed)
+    out_ids: list[int] = []
+    out_cells: list[int] = []
+    for c in sorted(set(int(x) for x in cells)):
+        members = sorted(
+            (int(ids[i]), i) for i in np.flatnonzero(cells == c)
+        )
+        kept: list[np.ndarray] = []
+        for vid, i in members:
+            v = V[i]
+            nrm = float(np.sqrt((v * v).sum()))
+            u = v / nrm if nrm != 0.0 else v
+            if all(float(np.dot(w, u)) < theta for w in kept):
+                kept.append(u)
+                out_ids.append(vid)
+                out_cells.append(c)
+    return pa.table(
+        {
+            "vec_id": pa.array(out_ids, pa.int64()),
+            "cell": pa.array(out_cells, pa.int64()),
+        }
+    )

@@ -452,3 +452,39 @@ def test_knn_ivf_indexed_equals_unindexed(ray_session, tmp_path):
     n_dirs = sum(1 for d in os.listdir(idx) if d.startswith("cell="))
     assert n_dirs == 8
     assert 0 < stats["n_cells_probed"] < n_dirs, stats
+
+
+def test_kmeans_semdedup_matches_reference(ray_session):
+    """X40/X41: distributed Lloyd + SemDeDup greedy must be bit-equal
+    to the sequential reference twins at NON-default params (the
+    defaults are pinned separately by the committed sf001 goldens),
+    across different block layouts — the int64 quantization grid makes
+    centroid sums exact regardless of how rows are partitioned."""
+    import pyarrow.parquet as pq
+
+    from kgray.extras import cluster
+    from reference_impl import sketch
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    want_km = sketch.run_kmeans(t, k=7, iters=5, seed=3).to_pandas()
+    want_sd = sketch.run_semdedup(t, k=7, iters=5, theta=0.3, seed=3).to_pandas()
+
+    for nblocks in (1, 9):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        cents = cluster.kmeans_fit(ds, k=7, iters=5, seed=3)
+        got_km = (
+            cluster.kmeans_assign(ds, cents)
+            .to_pandas()
+            .sort_values("vec_id", ignore_index=True)
+        )
+        assert got_km.equals(want_km), f"kmeans mismatch at nblocks={nblocks}"
+        got_sd = (
+            cluster.semdedup(ds, k=7, iters=5, theta=0.3, seed=3)
+            .to_pandas()
+            .sort_values(["vec_id"], ignore_index=True)
+        )
+        assert got_sd.equals(
+            want_sd.sort_values(["vec_id"], ignore_index=True)
+        ), f"semdedup mismatch at nblocks={nblocks}"
+    # the greedy pass must actually drop something at this theta
+    assert len(want_sd) < t.num_rows

@@ -79,6 +79,8 @@ def main() -> None:
         ("sf001_knn_lsh", sketch.run_knn_lsh(emb, queries)),
         ("sf001_knn_ivf", sketch.run_knn_ivf(emb, queries)),
         ("sf001_embedding_dup_pairs", sketch.run_cosine_dup_pairs(emb)),
+        ("sf001_kmeans", sketch.run_kmeans(emb)),
+        ("sf001_semdedup", sketch.run_semdedup(emb)),
     ]:
         _write(name, table)
 
