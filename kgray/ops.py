@@ -1155,3 +1155,40 @@ def connected_components_distributed(
         if changed == 0:
             break
     return normalize_blocks(labels, lbl_schema)
+
+
+def global_quantile_disc(ds: Dataset, col: str, q: float = 0.5) -> int:
+    """Exact GLOBAL discrete quantile — the value at index
+    floor((n-1)*q) of the ascending sort — without sorting the corpus:
+    a per-batch value-count combiner, one `groupby(col).sum` over the
+    distinct values, and a driver-side cumulative walk over the
+    bounded distinct-value table. Boundedness assumption (documented):
+    the column has ≪ corpus distinct values (ints, scores, bucketed
+    floats); an unbounded-domain column should be bucketed first
+    (same move as `group_quantile_disc`'s hist plan). Shuffle volume
+    is O(distinct values), driver memory likewise."""
+
+    def vc(b: pa.Table) -> pa.Table:
+        return (
+            b.select([col])
+            .group_by([col])
+            .aggregate([(col, "count")])
+            .rename_columns([col, "n"])
+        )
+
+    counts = (
+        ds.map_batches(vc, batch_size=None, batch_format="pyarrow")
+        .groupby(col)
+        .aggregate(Sum("n"))
+    )
+    rows = sorted((r[col], int(r["sum(n)"])) for r in counts.take_all())
+    n = sum(c for _, c in rows)
+    if n == 0:
+        raise ValueError("global_quantile_disc over an empty dataset")
+    target = int(np.floor((n - 1) * q))
+    cum = 0
+    for v, c in rows:
+        cum += c
+        if cum > target:
+            return v
+    return rows[-1][0]

@@ -1555,6 +1555,47 @@ def q_semdedup_embeddings(sf_dir: str):
 
 QUERIES["kmeans_embeddings"] = q_kmeans_embeddings
 QUERIES["semdedup_embeddings"] = q_semdedup_embeddings
+
+
+# X42: global-quantile filter — keep documents at or above the exact
+# global median word count. Composition: narrow score projection ->
+# ops.global_quantile_disc (value-count combiner, O(distinct) shuffle,
+# NO corpus sort) -> threshold broadcast into a map-side filter. The
+# scored projection is materialized once (2 int64 columns) so the
+# quantile pass and the filter pass don't recompute the split kernel.
+
+
+def q_docs_above_median_words(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        nw = pc.list_value_length(
+            pc.split_pattern(b["text"].combine_chunks(), " ")
+        ).cast(pa.int64())
+        return pa.table({"doc_id": b["doc_id"], "n_words": nw})
+
+    scored = ds.map_batches(score, batch_format="pyarrow").materialize()
+    thr = ops.global_quantile_disc(scored, "n_words", q=0.5)
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["n_words"], pa.scalar(thr)))
+
+    return scored.map_batches(keep, batch_size=None, batch_format="pyarrow")
+
+
+QUERIES["docs_above_median_words"] = q_docs_above_median_words
+
+ORACLE_SQL["docs_above_median_words"] = """
+WITH s AS (
+  SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words
+  FROM documents
+),
+thr AS (
+  SELECT n_words AS t FROM s ORDER BY n_words
+  LIMIT 1 OFFSET (SELECT (COUNT(*) - 1) // 2 FROM s)
+)
+SELECT s.doc_id, s.n_words FROM s, thr WHERE s.n_words >= thr.t
+"""
 ORACLE_SQL.update(
     {
         "kmeans_embeddings": "SELECT vec_id, cell "

@@ -160,3 +160,42 @@ def test_drop_empty_blocks(ray_session):
     # all-empty input keeps its schema
     out2 = ops.drop_empty_blocks(rd.from_arrow([sch.empty_table()]))
     assert out2.count() == 0 and out2.schema().names == ["x"]
+
+
+def test_ipc_format_roundtrip(ray_session, tmp_path):
+    """§2.1: the Arrow IPC adapter round-trips bit-exact (zero-parse
+    interchange — types survive, unlike CSV/JSONL), including a
+    list<float> column that the row formats can't carry."""
+    import pandas as pd
+
+    from kgray import sources
+
+    base = sources.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    want = base.to_pandas().sort_values("vec_id", ignore_index=True)
+    out = str(tmp_path / "ipc")
+    sources.write_table(base, out, format="arrow")
+    got = (
+        sources.read_table(out, format="arrow")
+        .to_pandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_like=True)
+
+
+def test_global_quantile_disc(ray_session):
+    """Exact global discrete quantile == numpy's sorted-index value,
+    across block layouts and at the q extremes."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray import ops
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 40, 10_001).astype("int64")
+    t = pa.table({"x": vals})
+    for nblocks in (1, 7):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+            want = int(np.sort(vals)[int(np.floor((len(vals) - 1) * q))])
+            assert ops.global_quantile_disc(ds, "x", q) == want, (nblocks, q)
