@@ -35,6 +35,11 @@ BENCH_QUERIES = [
     # decontamination semi-join
     "doc_chunks_packed",
     "contaminated_train",
+    # round-3 iterative additions: distributed connected components
+    # (min-label joins until convergence) and SemDeDup (full-corpus
+    # Lloyd k-means + per-cluster greedy)
+    "dedup_components_docs",
+    "semdedup_embeddings",
 ]
 
 

@@ -1585,6 +1585,74 @@ def q_docs_above_median_words(sf_dir: str):
 
 QUERIES["docs_above_median_words"] = q_docs_above_median_words
 
+
+# X43: event-sequence funnel (view -> purchase within 1 hour). The
+# MATCH_RECOGNIZE-ish sequence analytic: per user, how many 'view'
+# events were followed by a 'purchase' of the SAME user within the
+# window. Pre-filter to the two event types at the read (the groupby
+# shuffles only the funnel-relevant rows), then one vectorized
+# searchsorted pass per user group — no self-join explosion.
+
+
+def q_funnel_view_purchase(sf_dir: str):
+    import pandas as pd
+
+    H_NS = 3_600 * 10**9
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"]).map_batches(
+        lambda b: b.filter(
+            pc.is_in(b["event_type"], value_set=pa.array(["view", "purchase"]))
+        ),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+
+    def per_user(df: "pd.DataFrame") -> "pd.DataFrame":
+        ts = df["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        is_view = (df["event_type"] == "view").to_numpy()
+        vts = ts[is_view]
+        if len(vts) == 0:
+            return pd.DataFrame({"user_id": [], "n_views": [], "n_conv": []})
+        pur = np.sort(ts[~is_view])
+        lo = np.searchsorted(pur, vts, side="right")  # first purchase > v.ts
+        hi = np.searchsorted(pur, vts + H_NS, side="right")  # <= v.ts + 1h
+        return pd.DataFrame(
+            {
+                "user_id": [int(df["user_id"].iloc[0])],
+                "n_views": [len(vts)],
+                "n_conv": [int((hi > lo).sum())],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "n_views": b["n_views"].cast(pa.int64()),
+                "n_conv": b["n_conv"].cast(pa.int64()),
+            }
+        ),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["funnel_view_purchase"] = q_funnel_view_purchase
+
+ORACLE_SQL["funnel_view_purchase"] = """
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+conv AS (
+  SELECT DISTINCT v.user_id, v.ts
+  FROM v JOIN p ON p.user_id = v.user_id
+   AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+)
+SELECT v.user_id, COUNT(*) AS n_views, COUNT(conv.ts) AS n_conv
+FROM v LEFT JOIN conv ON conv.user_id = v.user_id AND conv.ts = v.ts
+GROUP BY v.user_id
+"""
+
 ORACLE_SQL["docs_above_median_words"] = """
 WITH s AS (
   SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_words
