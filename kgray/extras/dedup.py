@@ -368,7 +368,16 @@ def pairs_from_buckets(
       whole-block vectorized pair-gen + keyed block dedup — measured
       ~4x faster than the sort-based groupby at bench scale;
     - otherwise: sort-based groupby().map_groups + hash-agg distinct
-      (works under the default context)."""
+      (works under the default context).
+
+    The fast path's correctness rests on Ray's hash-shuffle finalize
+    emitting ONE block per partition (so a (band_id, band_hash) group
+    can never straddle the block-at-a-time `_block_pairs`). That is
+    the verified 2.49 behavior (its source carries a TODO to split
+    finalized blocks to target size); `_hash_shuffle_active` pins the
+    fast path to verified versions (`_ONE_BLOCK_PER_PARTITION_VERSIONS`)
+    and silently uses the groupby plan — which owns group-boundary
+    semantics — on any other Ray."""
     if _hash_shuffle_active():
         n = _shuffle_partitions()
         pairs = bucketed.repartition(n, keys=["band_id", "band_hash"]).map_batches(

@@ -1051,13 +1051,16 @@ def connected_components_distributed(
     component's minimum node id.
 
     Per iteration: ONE hash join pushes each node's current label to
-    its neighbors, a combiner groupby takes the min, and a join
-    against the previous labels counts changes (labels decrease
-    monotonically over a fixed node set, so changed == 0 is
-    convergence — reached in O(component diameter) min-propagation
+    its neighbors and a combiner groupby takes the min. Convergence
+    needs NO second join: labels decrease monotonically over a fixed
+    node set, so a round changed nothing iff the exact int64 SUM of
+    labels is unchanged — one cheap aggregate over the materialized
+    label table (convergence in O(component diameter) min-propagation
     rounds; near-dup clusters are near-cliques, so 2-3 in practice).
-    Everything stays a Dataset; the driver sees only the
-    per-iteration changed-count. Label tables are compacted with
+    Everything stays a Dataset; the driver sees only the per-round
+    label-sum. (Bound: the sum must not wrap int64 — fine up to ~3e9
+    nodes with dense ids; beyond that, re-key nodes first or restore a
+    per-round changed-count join.) Label tables are compacted with
     `drop_empty_blocks` before each join (see its docstring for the
     Ray 2.49 empty-first-block join hazard)."""
 
@@ -1082,6 +1085,7 @@ def connected_components_distributed(
         )
     )
     lbl_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+    prev_sum = labels.sum("label")
 
     for _ in range(max_iters):
         nb = labels.map_batches(
@@ -1126,34 +1130,11 @@ def connected_components_distributed(
                 lbl_schema,
             )
         )
-        old = labels.map_batches(
-            lambda b: pa.table({"on": b["node"], "ol": b["label"]}),
-            batch_size=None,
-            batch_format="pyarrow",
-        )
-        changed = (
-            normalize_blocks(
-                new.join(
-                    old,
-                    join_type="inner",
-                    num_partitions=num_partitions,
-                    on=("node",),
-                    right_on=("on",),
-                ),
-                pa.schema(
-                    [("node", pa.int64()), ("label", pa.int64()), ("ol", pa.int64())]
-                ),
-            )
-            .map_batches(
-                lambda b: b.filter(pc.less(b["label"], b["ol"])),
-                batch_size=None,
-                batch_format="pyarrow",
-            )
-            .count()
-        )
+        new_sum = new.sum("label")
         labels = new
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return normalize_blocks(labels, lbl_schema)
 
 
