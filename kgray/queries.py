@@ -1640,6 +1640,68 @@ def q_funnel_view_purchase(sf_dir: str):
 
 QUERIES["funnel_view_purchase"] = q_funnel_view_purchase
 
+
+# A12: grouped variance — the "custom mergeable aggregate" shape (a
+# UDAF): per-batch partials (n, Σc, Σc²) over exact int64 cents merge
+# associatively through grouped_sum_count's combiner, and variance is
+# ONE final float64 division of two exact integers — bit-identical to
+# SQL regardless of summation order (the cents pattern, extended to
+# second moments; int64 bound: n·Σc² < 2⁶³, i.e. ~10¹⁰ rows per group
+# at 10⁴-cent values — re-scale or widen to decimal beyond that).
+
+
+def q_events_value_stats(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        c = ops.cents(b["value"])
+        return pa.table(
+            {"event_type": b["event_type"], "c": c, "c2": pc.multiply(c, c)}
+        )
+
+    agg = ops.grouped_sum_count(
+        ds.map_batches(prep, batch_size=None, batch_format="pyarrow"),
+        keys=["event_type"],
+        sums=[("c", "sum_cents"), ("c2", "sum_c2")],
+        count_alias="n",
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy().astype(np.int64)
+        s = b["sum_cents"].to_numpy().astype(np.int64)
+        ss = b["sum_c2"].to_numpy().astype(np.int64)
+        num = (n * ss - s * s).astype(np.float64)
+        den = (n * n * 10_000).astype(np.float64)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "n": pa.array(n, pa.int64()),
+                "sum_cents": pa.array(s, pa.int64()),
+                "variance": pa.array(num / den, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+QUERIES["events_value_stats"] = q_events_value_stats
+
+ORACLE_SQL["events_value_stats"] = """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c FROM events
+),
+a AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(c) AS BIGINT) AS sum_cents,
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2
+  FROM c GROUP BY event_type
+)
+SELECT event_type, n, sum_cents,
+       CAST(n * sum_c2 - sum_cents * sum_cents AS DOUBLE)
+         / CAST(n * n * 10000 AS DOUBLE) AS variance
+FROM a
+"""
+
 ORACLE_SQL["funnel_view_purchase"] = """
 WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
 p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),

@@ -74,7 +74,7 @@ def _oracle_names():
     "events_asof", "events_sessionize", "events_sliding_1h", "users_with_custkey",
     "custkeys_without_events", "priority_top3_orders", "priority_price_median",
     "top_users_by_events", "events_hopping",
-    "docs_above_median_words", "funnel_view_purchase",
+    "docs_above_median_words", "funnel_view_purchase", "events_value_stats",
 ])
 def test_query_vs_duckdb(ray_session, con, name):
     import __ray_entry__ as e
