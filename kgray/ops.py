@@ -1173,3 +1173,98 @@ def global_quantile_disc(ds: Dataset, col: str, q: float = 0.5) -> int:
         if cum > target:
             return v
     return rows[-1][0]
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership prefilter (round 3): the scale path for a
+# semi join whose right side's KEYS are too many to broadcast exactly
+# (semi_join's is_in gate) but whose BITS fit — n-gram decontamination
+# against a large test set, URL blocklists, seen-id filters.
+
+BLOOM_H2_SALT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def hash_strings(col: pa.Array) -> np.ndarray:
+    """Deterministic vectorized uint64 hash of a NON-NULL string
+    column: pandas' fixed-key siphash (`pd.util.hash_array`) — stable
+    across processes and machines, unlike Python ``hash()`` (F7
+    rule). One cython pass, no per-row Python in the caller."""
+    import pandas as pd
+
+    return pd.util.hash_array(np.asarray(col.to_pandas(), dtype=object))
+
+
+def _bloom_positions(h1: np.ndarray, i: int, m_bits: np.uint64) -> np.ndarray:
+    """i-th double-hash probe position: (h1 + i*h2) mod m_bits with an
+    ODD stride h2 (m_bits is a power of two — an even stride would
+    cycle through a subgroup and waste probes)."""
+    h2 = _mix64(h1 ^ BLOOM_H2_SALT) | np.uint64(1)
+    return (h1 + np.uint64(i) * h2) % m_bits
+
+
+def bloom_build(
+    keys_ds: Dataset, key: str, *, m_bits: int = 1 << 20, nhash: int = 4
+) -> np.ndarray:
+    """Build a Bloom bitmap over a key column, distributed: each block
+    contributes a fixed-size partial bitmap (map_batches combiner, no
+    shuffle); the driver ORs the O(blocks) partials — constant driver
+    memory (m_bits/8 bytes per partial), never the keys themselves.
+    Size m_bits/nhash for the wanted false-positive rate; FPs only
+    cost extra downstream work because `bloom_prefilter` is a
+    SUPERSET filter that must be composed with an exact verify."""
+    nwords = m_bits // 64
+    mb = np.uint64(m_bits)
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = np.zeros(nwords, dtype=np.uint64)
+        if b.num_rows:
+            h1 = hash_strings(b[key].combine_chunks())
+            for i in range(nhash):
+                idx = _bloom_positions(h1, i, mb)
+                np.bitwise_or.at(
+                    words,
+                    (idx >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (idx & np.uint64(63)),
+                )
+        return pa.table({"bloom": pa.array([words.tobytes()], pa.large_binary())})
+
+    import ray as _ray
+
+    acc = np.zeros(nwords, dtype=np.uint64)
+    parts = keys_ds.map_batches(partial, batch_size=None, batch_format="pyarrow")
+    for t in _ray.get(parts.to_arrow_refs()):
+        if t is not None and t.num_rows:
+            for buf in t["bloom"].to_pylist():
+                acc = acc | np.frombuffer(buf, dtype=np.uint64)
+    return acc
+
+
+def bloom_prefilter(
+    ds: Dataset, key: str, bloom_ref, *, m_bits: int = 1 << 20, nhash: int = 4
+) -> Dataset:
+    """Map-side candidate filter against a broadcast Bloom bitmap
+    (`ray.put(bloom_build(...))` once, read per task from the local
+    object store): keeps a SUPERSET of the matching rows (negatives
+    are exact, positives may be false), so compose with an exact
+    `semi_join` on the survivors — the exact join then runs on the
+    pruned set instead of the corpus."""
+    import ray as _ray
+
+    mb = np.uint64(m_bits)
+
+    def f(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        words = _ray.get(bloom_ref)
+        h1 = hash_strings(b[key].combine_chunks())
+        keep = np.ones(len(h1), dtype=bool)
+        for i in range(nhash):
+            idx = _bloom_positions(h1, i, mb)
+            bit = (
+                words[(idx >> np.uint64(6)).astype(np.int64)]
+                >> (idx & np.uint64(63))
+            ) & np.uint64(1)
+            keep &= bit.astype(bool)
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_size=None, batch_format="pyarrow")

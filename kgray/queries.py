@@ -3368,3 +3368,343 @@ comp(id, lbl) AS (
 )
 SELECT id AS node, MIN(lbl) AS label FROM comp GROUP BY id
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 12: exact grouped count-distinct, grouped mode,
+# fixed-size deterministic global sample, per-row z-score
+# normalization (stats join-back), cross-document duplicate n-gram
+# fraction, and the Bloom-prefiltered decontamination scale path.
+
+
+def q_user_distinct_types(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): two-phase — distinct
+    (user, type) pairs first (per-batch combiner dedup bounds the
+    shuffle to distinct combos, not events), then a combiner count
+    per user. The KMV sketch (`events_kmv_distinct`) is the
+    approximate sibling; this is the exact one."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    pairs = ops.distinct(ds, ["user_id", "event_type"])
+    return ops.grouped_sum_count(
+        pairs, keys=["user_id"], sums=[], count_alias="n_types"
+    )
+
+
+SQL_USER_DISTINCT_TYPES = """
+SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+def q_user_top_type(sf_dir: str):
+    """Grouped MODE (most frequent value per key, tie -> smallest):
+    combiner counts per (user, type) bound the shuffle to distinct
+    pairs, then a per-user argmax over that tiny table
+    (`ops.group_topk`, k=1, mergesort-stable tie-break)."""
+    counts = ops.grouped_sum_count(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        keys=["user_id", "event_type"],
+        sums=[],
+        count_alias="n",
+    )
+    ranked = ops.group_topk(
+        counts, "user_id", ["n", "event_type"], 1, ascending=[False, True]
+    )
+    return ranked.select_columns(["user_id", "event_type", "n"])
+
+
+SQL_USER_TOP_TYPE = """
+SELECT user_id, event_type, n FROM (
+  SELECT user_id, event_type, COUNT(*) AS n,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type)
+WHERE rn = 1
+"""
+
+
+GSAMPLE_K = 64
+GSAMPLE_SEED = 4242
+
+
+def q_docs_global_sample(sf_dir: str):
+    """Fixed-size deterministic global sample — exactly K rows,
+    uniform without replacement: the K smallest splitmix64(key^seed)
+    hashes win (the deterministic cousin of reservoir sampling; same
+    rows on any cluster size / re-run, resumable). Combiner: each
+    block keeps its local top-K smallest (h, id) — the global
+    sort+limit then sees O(blocks*K) rows, never the corpus."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    sd = np.uint64(GSAMPLE_SEED)
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        k = b["doc_id"].combine_chunks().to_numpy().astype(np.int64).view(np.uint64)
+        t = b.append_column("h", pa.array(ops._mix64(k ^ sd)))
+        idx = pc.sort_indices(
+            t, sort_keys=[("h", "ascending"), ("doc_id", "ascending")]
+        )
+        return t.take(idx[:GSAMPLE_K])
+
+    part = ds.map_batches(local_topk, batch_size=None, batch_format="pyarrow")
+    top = ops.topk(part, ["h", "doc_id"], GSAMPLE_K, descending=False)
+    return top.select_columns(["doc_id", "source"])
+
+
+SQL_DOCS_GLOBAL_SAMPLE = """
+WITH s AS ({hash_cte})
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rn FROM s)
+WHERE rn <= {k}
+""".format(
+    hash_cte=ops.splitmix64_sql(
+        "documents", "doc_id", ["doc_id", "source"], seed=GSAMPLE_SEED
+    ),
+    k=GSAMPLE_K,
+)
+
+
+def q_events_user_zscore(sf_dir: str):
+    """Per-row z-score normalization (the ML feature-standardization
+    shape): per-user moments (n, Σc, Σc²) via the combiner aggregate,
+    hash-joined back to the rows (stats side is bounded by distinct
+    users; both sides scale). zdev = (n·c − S) / √(n·Q − S²) — all
+    integer arithmetic up to ONE correctly-rounded sqrt and ONE
+    division, so the oracle is bit-exact; NULL when the group is
+    constant or a singleton (denominator 0). int64 bound: n·Σc² < 2⁶³
+    (~10⁹ rows/group at 10⁴-cent values — rescale beyond)."""
+    cols = ["event_id", "user_id", "value"]
+
+    def prep(b: pa.Table) -> pa.Table:
+        c = ops.cents(b["value"])
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "c": c,
+                "c2": pc.multiply(c, c),
+            }
+        )
+
+    rows = _read(sf_dir, "events", cols).map_batches(
+        prep, batch_size=None, batch_format="pyarrow"
+    )
+    stats = ops.grouped_sum_count(
+        _read(sf_dir, "events", ["user_id", "value"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "c": ops.cents(b["value"]),
+                    "c2": pc.multiply(ops.cents(b["value"]), ops.cents(b["value"])),
+                }
+            ),
+            batch_size=None,
+            batch_format="pyarrow",
+        ),
+        keys=["user_id"],
+        sums=[("c", "s"), ("c2", "q")],
+        count_alias="n",
+    )
+    joined = ops.normalize_blocks(
+        ops.hash_join(
+            ops.drop_empty_blocks(rows.drop_columns(["c2"])),
+            ops.drop_empty_blocks(stats),
+            on=("user_id",),
+            num_partitions=NUM_JOIN_PARTITIONS,
+        ),
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("c", pa.int64()),
+                ("s", pa.int64()),
+                ("q", pa.int64()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy().astype(np.int64)
+        c = b["c"].to_numpy().astype(np.int64)
+        s = b["s"].to_numpy().astype(np.int64)
+        qq = b["q"].to_numpy().astype(np.int64)
+        num = (n * c - s).astype(np.float64)
+        d = (n * qq - s * s).astype(np.float64)
+        ok = d > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = num / np.sqrt(d)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "zdev": pa.array(np.where(ok, z, np.nan), pa.float64(), mask=~ok),
+            }
+        )
+
+    return joined.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+SQL_EVENTS_USER_ZSCORE = """
+WITH c AS (
+  SELECT event_id, user_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+a AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS q
+  FROM c GROUP BY user_id
+)
+SELECT c.event_id, c.user_id,
+       CAST(a.n * c.c - a.s AS DOUBLE)
+         / SQRT(CAST(NULLIF(a.n * a.q - a.s * a.s, 0) AS DOUBLE)) AS zdev
+FROM c JOIN a USING (user_id)
+"""
+
+
+def q_doc_dup_ngrams(sf_dir: str):
+    """Cross-document duplicate n-gram fraction (the RefinedWeb /
+    Gopher 'dup n-gram' quality signal, corpus-wide): per doc, the
+    fraction of its DISTINCT 4-grams that also occur in at least one
+    other doc. Plan: vectorized gram explode (shared `_gram_batch`
+    kernel) → distinct (doc, gram) → docs-per-gram combiner count →
+    grams with count ≥ 2 feed a size-gated semi join back over the
+    (doc, gram) table → the totals and the dup hits UNION with 0/1
+    weight columns into ONE combiner groupby (no join for the final
+    merge). Single final division — oracle exact. Docs shorter than
+    K tokens have no grams and no row (matches SQL, which also
+    groups over gram rows)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    grams = ds.map_batches(
+        lambda b: _gram_batch(b), batch_format="pyarrow"
+    )
+    dg = ops.distinct(grams, ["doc_id", "gram"])
+    per_gram = ops.grouped_sum_count(dg, keys=["gram"], sums=[], count_alias="nd")
+    dup = per_gram.filter(expr="nd >= 2").select_columns(["gram"])
+    hit = ops.semi_join(dg, "gram", dup, "gram")
+
+    def tag(one: int, dupw: int):
+        def f(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "one": pa.array(np.full(n, one, dtype=np.int64)),
+                    "dup": pa.array(np.full(n, dupw, dtype=np.int64)),
+                }
+            )
+
+        return f
+
+    tagged = dg.map_batches(
+        tag(1, 0), batch_size=None, batch_format="pyarrow"
+    ).union(hit.map_batches(tag(0, 1), batch_size=None, batch_format="pyarrow"))
+    agg = ops.grouped_sum_count(
+        tagged, keys=["doc_id"], sums=[("one", "n_grams"), ("dup", "n_dup")]
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        ng = b["n_grams"].to_numpy().astype(np.float64)
+        nd = b["n_dup"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_grams": b["n_grams"],
+                "n_dup": b["n_dup"],
+                "dup_frac": pa.array(nd / ng, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+SQL_DOC_DUP_NGRAMS = """
+WITH g AS (
+  SELECT DISTINCT doc_id, ARRAY_TO_STRING(toks[i:i+{km1}], ' ') AS gram
+  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+       UNNEST(RANGE(1, LEN(toks) - {km2})) u(i)
+),
+d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       CAST(COUNT(*) FILTER (WHERE gram IN (SELECT gram FROM d)) AS BIGINT)
+         AS n_dup,
+       CAST(COUNT(*) FILTER (WHERE gram IN (SELECT gram FROM d)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+FROM g GROUP BY doc_id
+""".format(km1=DECON_K - 1, km2=DECON_K - 2)
+
+
+DECON_BLOOM_BITS = 1 << 20
+DECON_BLOOM_NHASH = 4
+
+
+def q_contaminated_train_bloom(sf_dir: str):
+    """X37's Bloom-filter scale path — SAME semantics and oracle as
+    `contaminated_train`: the test-side gram set is folded into a
+    fixed-size Bloom bitmap (per-block partial bitmaps OR-reduced on
+    the driver — the driver never sees the keys), broadcast once via
+    `ray.put`, and the train grams are pruned MAP-SIDE before the
+    exact semi join verifies the survivors (Bloom negatives are
+    exact, so pruning loses nothing; false positives are removed by
+    the verify). Use over `semi_join`'s is_in gate when the test
+    grams outgrow the broadcastable-keys budget but their BITS fit:
+    the bitmap is O(m_bits) regardless of key count."""
+    import ray as _ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sd = np.uint64(SPLIT_SEED)
+    t1, t2 = np.uint64(SPLIT_TRAIN_END), np.uint64(SPLIT_VAL_END)
+
+    def split_hash(b: pa.Table):
+        k = b["doc_id"].combine_chunks().to_numpy().astype(np.int64).view(np.uint64)
+        return ops._mix64(k ^ sd)
+
+    def train_grams(b: pa.Table) -> pa.Table:
+        return _gram_batch(b, split_hash(b) < t1)
+
+    def test_grams(b: pa.Table) -> pa.Table:
+        return _gram_batch(b, split_hash(b) >= t2)
+
+    tg = ds.map_batches(train_grams, batch_format="pyarrow")
+    qg = ds.map_batches(test_grams, batch_format="pyarrow").select_columns(["gram"])
+    qg = qg.materialize()  # bloom build + exact verify share one execution
+    bloom = ops.bloom_build(
+        qg, "gram", m_bits=DECON_BLOOM_BITS, nhash=DECON_BLOOM_NHASH
+    )
+    cand = ops.bloom_prefilter(
+        tg,
+        "gram",
+        _ray.put(bloom),
+        m_bits=DECON_BLOOM_BITS,
+        nhash=DECON_BLOOM_NHASH,
+    )
+    hit = ops.semi_join(cand, "gram", qg, "gram")
+    return ops.distinct(hit.select_columns(["doc_id"]), ["doc_id"])
+
+
+QUERIES.update(
+    {
+        "user_distinct_types": q_user_distinct_types,
+        "user_top_type": q_user_top_type,
+        "docs_global_sample": q_docs_global_sample,
+        "events_user_zscore": q_events_user_zscore,
+        "doc_dup_ngrams": q_doc_dup_ngrams,
+        "contaminated_train_bloom": q_contaminated_train_bloom,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "user_distinct_types": SQL_USER_DISTINCT_TYPES,
+        "user_top_type": SQL_USER_TOP_TYPE,
+        "docs_global_sample": SQL_DOCS_GLOBAL_SAMPLE,
+        "events_user_zscore": SQL_EVENTS_USER_ZSCORE,
+        "doc_dup_ngrams": SQL_DOC_DUP_NGRAMS,
+        # identical semantics by construction: Bloom prefilter is a
+        # superset filter, the exact semi join removes its FPs
+        "contaminated_train_bloom": SQL_CONTAMINATED_TRAIN,
+    }
+)

@@ -199,3 +199,36 @@ def test_global_quantile_disc(ray_session):
         for q in (0.0, 0.25, 0.5, 0.9, 1.0):
             want = int(np.sort(vals)[int(np.floor((len(vals) - 1) * q))])
             assert ops.global_quantile_disc(ds, "x", q) == want, (nblocks, q)
+
+
+def test_bloom_prefilter_superset_and_exactness(ray_session):
+    """Bloom prefilter: NO false negatives ever (every true member
+    survives), and composed with the exact semi join it reproduces
+    semi_join's result exactly — across block layouts and with an
+    undersized bitmap that guarantees false positives."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from kgray import ops
+
+    rng = np.random.default_rng(11)
+    left_keys = [f"k{i}" for i in rng.integers(0, 500, 2_000)]
+    right_keys = sorted({f"k{i}" for i in rng.integers(0, 500, 120)})
+    left = pa.table({"key": left_keys, "v": np.arange(2_000, dtype=np.int64)})
+    right = pa.table({"key": right_keys})
+    want = set(np.flatnonzero(np.isin(np.array(left_keys), right_keys)))
+
+    for nblocks in (1, 5):
+        for m_bits in (1 << 16, 256):  # 256 bits over 120 keys: FPs certain
+            lds = rd.from_arrow(left).repartition(nblocks)
+            rds = rd.from_arrow(right).repartition(nblocks).materialize()
+            bloom = ops.bloom_build(rds, "key", m_bits=m_bits, nhash=3)
+            cand = ops.bloom_prefilter(
+                lds, "key", ray.put(bloom), m_bits=m_bits, nhash=3
+            )
+            got_cand = set(cand.to_pandas()["v"])
+            assert want <= got_cand, (nblocks, m_bits)  # superset always
+            exact = ops.semi_join(cand, "key", rds, "key")
+            assert set(exact.to_pandas()["v"]) == want, (nblocks, m_bits)

@@ -75,6 +75,8 @@ def _oracle_names():
     "custkeys_without_events", "priority_top3_orders", "priority_price_median",
     "top_users_by_events", "events_hopping",
     "docs_above_median_words", "funnel_view_purchase", "events_value_stats",
+    "user_distinct_types", "user_top_type", "docs_global_sample",
+    "events_user_zscore", "doc_dup_ngrams", "contaminated_train_bloom",
 ])
 def test_query_vs_duckdb(ray_session, con, name):
     import __ray_entry__ as e
