@@ -1268,3 +1268,78 @@ def bloom_prefilter(
         return b.filter(pa.array(keep))
 
     return ds.map_batches(f, batch_size=None, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Skew-aware equi-join (round 3): the J2 hash join's hot-key escape
+# hatch. A hash join sends every row of a key to ONE partition — a
+# Zipf-head key (the Bach/Mozart problem, §4.3) turns that partition
+# into the straggler. Here the hot keys never enter the shuffle.
+
+
+def skew_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    right_on: str | None = None,
+    *,
+    hot_threshold: int,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Skew-aware inner equi-join: left keys hotter than
+    `hot_threshold` rows are joined MAP-SIDE against a broadcast of
+    their right-side rows (`ray.put` once — the hot tuples never
+    shuffle), the cold remainder goes through the normal hash join,
+    and the two streams union. Identical rows to `hash_join`
+    (parity-tested across thresholds).
+
+    Finding the hot keys is cheap: a combiner count per key (shuffle
+    O(distinct keys per block)), filtered on the driver — the hot
+    list is small by definition (few keys exceed a meaningful
+    threshold). Documented assumption: the right side is
+    dimension-like on the hot keys (few rows per hot key), so their
+    broadcast table stays small; a hot-hot join (both sides huge on
+    one key) is a cross-product blowup no join strategy fixes."""
+    rkey = right_on or on
+    sch_l = _arrow_schema_or_none(left)
+    sch_r = _arrow_schema_or_none(right)
+    if sch_l is None or sch_r is None:
+        raise ValueError("skew_join requires schema-typed inputs")
+    counts = grouped_sum_count(
+        left.select_columns([on]), keys=[on], sums=[], count_alias="n"
+    )
+    hot = {r[on] for r in counts.filter(expr=f"n > {hot_threshold}").take_all()}
+    out_schema = pa.schema(
+        list(sch_l)
+        + [f for f in sch_r if f.name != rkey]
+    )
+    if not hot:
+        return normalize_blocks(
+            hash_join(
+                drop_empty_blocks(left),
+                drop_empty_blocks(right),
+                on=(on,),
+                right_on=(rkey,),
+                num_partitions=num_partitions,
+            ),
+            out_schema,
+        )
+    r_hot = collect_table(
+        semi_join_filter(right, rkey, hot), sch_r
+    )
+    hot_joined = broadcast_join(
+        semi_join_filter(left, on, hot), r_hot, keys=[on], right_keys=[rkey]
+    )
+    l_cold = drop_empty_blocks(anti_join_filter(left, on, hot))
+    if l_cold.count() == 0:  # metadata-cheap: drop_empty_blocks materialized
+        return normalize_blocks(hot_joined, out_schema)
+    cold_joined = hash_join(
+        l_cold,
+        drop_empty_blocks(right),
+        on=(on,),
+        right_on=(rkey,),
+        num_partitions=num_partitions,
+    )
+    return normalize_blocks(hot_joined, out_schema).union(
+        normalize_blocks(cold_joined, out_schema)
+    )

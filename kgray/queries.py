@@ -3708,3 +3708,188 @@ ORACLE_SQL.update(
         "contaminated_train_bloom": SQL_CONTAMINATED_TRAIN,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 13: skew-aware join, deterministic data-mixture
+# epoch replication, per-window trending top-k.
+
+
+SKEW_HOT_THRESHOLD = 15  # orders per custkey; sf skew tops out ~25
+
+
+def q_cust_orders_skew(sf_dir: str):
+    """J6: skew-aware equi-join — orders ⋈ customer through
+    `ops.skew_join`: custkeys with > SKEW_HOT_THRESHOLD orders are
+    joined map-side against a broadcast of their customer rows (the
+    hot tuples never shuffle — the Zipf-head straggler fix), the
+    cold tail goes through the normal hash join. Identical rows to
+    the plain join, so the oracle is plain SQL; the threshold is set
+    low enough that BOTH paths carry rows at every test sf."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": b["o_custkey"], "total_cents": ops.cents(b["o_totalprice"])}
+        )
+
+    joined = ops.skew_join(
+        orders.map_batches(prep, batch_size=None, batch_format="pyarrow"),
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        on="o_custkey",
+        right_on="c_custkey",
+        hot_threshold=SKEW_HOT_THRESHOLD,
+        num_partitions=NUM_JOIN_PARTITIONS,
+    )
+    out = ops.grouped_sum_count(
+        joined,
+        keys=["c_nationkey"],
+        sums=[("total_cents", "revenue_cents")],
+        count_alias="n_orders",
+    )
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("c_nationkey"),
+            "c_nationkey",
+            pc.cast(b["c_nationkey"], pa.int64()),
+        ),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+
+
+SQL_CUST_ORDERS_SKEW = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON c_custkey = o_custkey
+GROUP BY c_nationkey
+"""
+
+
+MIX_FACTORS = {"src0": 2.5, "src1": 0.25, "src2": 1.75}  # others 1.0
+MIX_SEED = 1337
+
+
+def q_docs_mixture_epochs(sf_dir: str):
+    """X46: deterministic data-mixture epoch replication (the LLaMA/
+    DoReMi 'source X gets 2.5 epochs' step): each doc is emitted
+    floor(r) times plus one more iff splitmix64(doc_id^seed) <
+    floor(frac(r)·2⁶⁴) — a pure key function, so the materialized
+    mixture is identical on any cluster size, resumable, and
+    embarrassingly parallel (np.repeat per batch, no shuffle).
+    Factors are exact binary fractions so the one float multiply+floor
+    reproduces bit-exactly in SQL."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    sd = np.uint64(MIX_SEED)
+    TWO64 = float(1 << 64)
+
+    def f(b: pa.Table) -> pa.Table:
+        src = np.asarray(b["source"].combine_chunks().to_pandas(), dtype=object)
+        r = np.full(len(src), 1.0)
+        for k, v in MIX_FACTORS.items():
+            r[src == k] = v
+        base = np.floor(r)
+        frac = r - base
+        key = b["doc_id"].combine_chunks().to_numpy().astype(np.int64).view(np.uint64)
+        h = ops._mix64(key ^ sd)
+        extra = h < np.floor(frac * TWO64).astype(np.uint64)
+        copies = base.astype(np.int64) + extra
+        doc_idx = np.repeat(np.arange(len(copies), dtype=np.int64), copies)
+        cid = np.arange(len(doc_idx), dtype=np.int64) - np.repeat(
+            np.cumsum(copies) - copies, copies
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].combine_chunks().take(pa.array(doc_idx)),
+                "source": b["source"].combine_chunks().take(pa.array(doc_idx)),
+                "copy_id": pa.array(cid, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_size=None, batch_format="pyarrow")
+
+
+SQL_DOCS_MIXTURE_EPOCHS = """
+WITH s AS ({hash_cte}),
+f AS (
+  SELECT doc_id, source, h,
+         CASE source {cases} ELSE 1.0 END AS r
+  FROM s
+),
+c AS (
+  SELECT doc_id, source,
+         CAST(FLOOR(r) AS BIGINT)
+         + CASE WHEN h < CAST(FLOOR((r - FLOOR(r)) * 18446744073709551616.0)
+                             AS UBIGINT)
+                THEN 1 ELSE 0 END AS copies
+  FROM f
+)
+SELECT doc_id, source, CAST(i AS BIGINT) AS copy_id
+FROM c, UNNEST(RANGE(0, copies)) u(i)
+""".format(
+    hash_cte=ops.splitmix64_sql(
+        "documents", "doc_id", ["doc_id", "source"], seed=MIX_SEED
+    ),
+    cases=" ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_FACTORS.items()),
+)
+
+
+TREND_TOPK = 3
+
+
+def q_hour_top_types(sf_dir: str):
+    """X47: per-window trending top-k — the top event types per
+    tumbling hour with their rank. Combiner counts per (hour, type)
+    bound the shuffle to distinct pairs; `ops.group_topk` ranks
+    inside each window (stable tie-break on type)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": pc.floor_temporal(b["ts"], unit="hour"),
+                "event_type": b["event_type"],
+            }
+        )
+
+    counts = ops.grouped_sum_count(
+        ds.map_batches(f, batch_size=None, batch_format="pyarrow"),
+        keys=["window_start", "event_type"],
+        sums=[],
+        count_alias="n",
+    )
+    return ops.group_topk(
+        counts, "window_start", ["n", "event_type"], TREND_TOPK,
+        ascending=[False, True],
+    )
+
+
+SQL_HOUR_TOP_TYPES = f"""
+SELECT window_start, event_type, n, rn FROM (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         COUNT(*) AS n,
+         ROW_NUMBER() OVER (
+           PARTITION BY date_trunc('hour', ts)
+           ORDER BY COUNT(*) DESC, event_type) AS rn
+  FROM events GROUP BY 1, 2)
+WHERE rn <= {TREND_TOPK}
+"""
+
+
+QUERIES.update(
+    {
+        "cust_orders_skew": q_cust_orders_skew,
+        "docs_mixture_epochs": q_docs_mixture_epochs,
+        "hour_top_types": q_hour_top_types,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "cust_orders_skew": SQL_CUST_ORDERS_SKEW,
+        "docs_mixture_epochs": SQL_DOCS_MIXTURE_EPOCHS,
+        "hour_top_types": SQL_HOUR_TOP_TYPES,
+    }
+)

@@ -232,3 +232,48 @@ def test_bloom_prefilter_superset_and_exactness(ray_session):
             assert want <= got_cand, (nblocks, m_bits)  # superset always
             exact = ops.semi_join(cand, "key", rds, "key")
             assert set(exact.to_pandas()["v"]) == want, (nblocks, m_bits)
+
+
+def test_skew_join_parity(ray_session):
+    """skew_join == hash_join rows at every threshold regime: all-hot
+    (threshold 0), mixed, and all-cold (threshold above the max key
+    count) — across block layouts."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray import ops
+
+    rng = np.random.default_rng(7)
+    # Zipf-ish: key 0 hot (200 rows), keys 1..49 cold
+    keys = np.concatenate([np.zeros(200, np.int64), rng.integers(1, 50, 300)])
+    left = pa.table({"k": keys, "v": np.arange(len(keys), dtype=np.int64)})
+    right = pa.table(
+        {"rk": np.arange(50, dtype=np.int64),
+         "attr": [f"a{i}" for i in range(50)]}
+    )
+
+    def run(join_fn):
+        out = join_fn.to_pandas().sort_values(["v"], ignore_index=True)
+        return out[["k", "v", "attr"]]
+
+    for nblocks in (1, 6):
+        lds = rd.from_arrow(left).repartition(nblocks)
+        rds = rd.from_arrow(right).repartition(nblocks)
+        want = run(
+            ops.normalize_blocks(
+                ops.hash_join(lds, rds, on=("k",), right_on=("rk",), num_partitions=4),
+                pa.schema([("k", pa.int64()), ("v", pa.int64()), ("attr", pa.string())]),
+            )
+        )
+        for thr in (0, 50, 10_000):
+            got = run(
+                ops.skew_join(
+                    rd.from_arrow(left).repartition(nblocks),
+                    rd.from_arrow(right).repartition(nblocks),
+                    on="k", right_on="rk",
+                    hot_threshold=thr, num_partitions=4,
+                )
+            )
+            pd.testing.assert_frame_equal(got, want), (nblocks, thr)
