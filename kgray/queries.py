@@ -3486,21 +3486,16 @@ def q_events_user_zscore(sf_dir: str):
             }
         )
 
-    rows = _read(sf_dir, "events", cols).map_batches(
-        prep, batch_size=None, batch_format="pyarrow"
+    # one narrow prep, materialized once: the stats plan and the join's
+    # row side share it instead of re-running the read+prep (the
+    # ADVICE-r2 double-execution pattern)
+    rows = (
+        _read(sf_dir, "events", cols)
+        .map_batches(prep, batch_size=None, batch_format="pyarrow")
+        .materialize()
     )
     stats = ops.grouped_sum_count(
-        _read(sf_dir, "events", ["user_id", "value"]).map_batches(
-            lambda b: pa.table(
-                {
-                    "user_id": b["user_id"],
-                    "c": ops.cents(b["value"]),
-                    "c2": pc.multiply(ops.cents(b["value"]), ops.cents(b["value"])),
-                }
-            ),
-            batch_size=None,
-            batch_format="pyarrow",
-        ),
+        rows.select_columns(["user_id", "c", "c2"]),
         keys=["user_id"],
         sums=[("c", "s"), ("c2", "q")],
         count_alias="n",
@@ -3580,7 +3575,11 @@ def q_doc_dup_ngrams(sf_dir: str):
     grams = ds.map_batches(
         lambda b: _gram_batch(b), batch_format="pyarrow"
     )
-    dg = ops.distinct(grams, ["doc_id", "gram"])
+    # three consumers (per-gram counts, the semi join's left side, the
+    # totals tagging) — materialize the distinct table once instead of
+    # re-running the explode+dedup per consumer; the object store
+    # spills if it outgrows memory
+    dg = ops.distinct(grams, ["doc_id", "gram"]).materialize()
     per_gram = ops.grouped_sum_count(dg, keys=["gram"], sums=[], count_alias="nd")
     dup = per_gram.filter(expr="nd >= 2").select_columns(["gram"])
     hit = ops.semi_join(dg, "gram", dup, "gram")
