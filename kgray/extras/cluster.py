@@ -243,3 +243,65 @@ def semdedup(
         )
 
     return assigned.groupby("cell").map_groups(per_cell, batch_format="pyarrow")
+
+
+def knn_graph(
+    ds: Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    k_neighbors: int = 5,
+    k: int = 10,
+    iters: int = 8,
+    seed: int = KMEANS_SEED,
+) -> Dataset:
+    """Approximate kNN-graph construction (every vector's top
+    `k_neighbors` cosine neighbors searched WITHIN its k-means cell —
+    the scale recipe behind SemDeDup/NN-descent style pipelines: no
+    corpus broadcast, no driver collect, one shuffle on cell).
+    Deterministic by the cluster-family protocol: cells from the
+    int64-grid Lloyd run, cosines in float64 on the dequantized grid,
+    neighbor order (round(cos, 4) desc, id asc). Singleton cells emit
+    no rows. Partitioning assumption as semdedup: one cell per worker
+    (choose k so corpus/k fits); output is (query_id, neighbor_id,
+    rn) with rn 1..k_neighbors."""
+    cents = kmeans_fit(ds, vec_col, id_col, k=k, iters=iters, seed=seed)
+    assigned = kmeans_assign(ds, cents, vec_col, id_col, keep_vec=True)
+
+    def per_cell(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        raw = batch["qvec"].to_pylist()
+        Q = np.frombuffer(b"".join(raw), dtype=np.int64).reshape(len(raw), -1)[order]
+        m = len(ids)
+        if m < 2:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "rn": pa.array([], pa.int64()),
+                }
+            )
+        V = _deq(Q)
+        norms = np.sqrt((V * V).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        U = V / norms[:, None]
+        S = np.round(U @ U.T, 4)
+        np.fill_diagonal(S, -np.inf)  # exclude self
+        kk = min(k_neighbors, m - 1)
+        qs, ns, rs = [], [], []
+        for i in range(m):
+            sel = np.lexsort((ids, -S[i]))[:kk]
+            qs.append(np.full(kk, ids[i], dtype=np.int64))
+            ns.append(ids[sel])
+            rs.append(np.arange(1, kk + 1, dtype=np.int64))
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qs)),
+                "neighbor_id": pa.array(np.concatenate(ns)),
+                "rn": pa.array(np.concatenate(rs)),
+            }
+        )
+
+    return assigned.groupby("cell").map_groups(per_cell, batch_format="pyarrow")

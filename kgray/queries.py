@@ -3892,3 +3892,27 @@ ORACLE_SQL.update(
         "hour_top_types": SQL_HOUR_TOP_TYPES,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# X48: kNN-graph construction (round 3 batch 13b) — every vector's
+# top-5 cosine neighbors searched within its k-means cell (the scale
+# recipe: no corpus broadcast, no driver collect, one shuffle on
+# cell). Oracled against the independent sequential twin's committed
+# golden (reference_impl/sketch.py run_knn_graph — per-pair np.dot
+# loops vs the engine's per-cell GEMM).
+
+
+def q_knn_graph(sf_dir: str):
+    from .extras import cluster
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cluster.knn_graph(ds, k_neighbors=5, k=10, iters=8)
+
+
+QUERIES["knn_graph"] = q_knn_graph
+
+ORACLE_SQL["knn_graph"] = (
+    "SELECT query_id, neighbor_id, rn "
+    f"FROM read_parquet('{_GOLDEN_DIR}/sf001_knn_graph.parquet')"
+)

@@ -513,3 +513,51 @@ def run_semdedup(
             "cell": pa.array(out_cells, pa.int64()),
         }
     )
+
+
+def run_knn_graph(
+    table: pa.Table,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k_neighbors: int = 5,
+    k: int = 10,
+    iters: int = 8,
+    seed: int = 11,
+) -> pa.Table:
+    """Sequential reference of cluster.knn_graph: per final k-means
+    cell, each vector's top `k_neighbors` cosine neighbors among the
+    OTHER cell members, ordered (round(cos, 4) desc, id asc). Cosines
+    in float64 on the dequantized grid; per-pair np.dot here vs the
+    engine's one GEMM per cell — different accumulation shape, same
+    spec. Output sorted (query_id, rn)."""
+    ids, _, V, cells = _km_setup(table, vec_col, id_col, k, iters, seed)
+    out_q: list[int] = []
+    out_n: list[int] = []
+    out_r: list[int] = []
+    for c in sorted(set(int(x) for x in cells)):
+        members = sorted((int(ids[i]), i) for i in np.flatnonzero(cells == c))
+        if len(members) < 2:
+            continue
+        units = {}
+        for vid, i in members:
+            v = V[i]
+            nrm = float(np.sqrt((v * v).sum()))
+            units[vid] = v / nrm if nrm != 0.0 else v
+        for vid, i in members:
+            scored = sorted(
+                (-round(float(np.dot(units[vid], units[ovid])), 4), ovid)
+                for ovid, _ in members
+                if ovid != vid
+            )
+            for rn, (_, ovid) in enumerate(scored[:k_neighbors], start=1):
+                out_q.append(vid)
+                out_n.append(ovid)
+                out_r.append(rn)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "rn": pa.array(out_r, pa.int64()),
+        }
+    )

@@ -488,3 +488,31 @@ def test_kmeans_semdedup_matches_reference(ray_session):
         ), f"semdedup mismatch at nblocks={nblocks}"
     # the greedy pass must actually drop something at this theta
     assert len(want_sd) < t.num_rows
+
+
+def test_knn_graph_matches_sequential_twin(ray_session):
+    """cluster.knn_graph == the independent sequential reference on
+    sf0.001 embeddings (data the committed golden does NOT cover),
+    across block layouts."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from kgray.extras import cluster
+    from reference_impl import sketch
+
+    emb = pq.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    want = (
+        sketch.run_knn_graph(emb)
+        .to_pandas()
+        .sort_values(["query_id", "rn"], ignore_index=True)
+    )
+    for nblocks in (1, 5):
+        got = (
+            cluster.knn_graph(rd.from_arrow(emb).repartition(nblocks))
+            .to_pandas()
+            .sort_values(["query_id", "rn"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(got, want), nblocks

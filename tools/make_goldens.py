@@ -81,6 +81,7 @@ def main() -> None:
         ("sf001_embedding_dup_pairs", sketch.run_cosine_dup_pairs(emb)),
         ("sf001_kmeans", sketch.run_kmeans(emb)),
         ("sf001_semdedup", sketch.run_semdedup(emb)),
+        ("sf001_knn_graph", sketch.run_knn_graph(emb)),
     ]:
         _write(name, table)
 
