@@ -3916,3 +3916,146 @@ ORACLE_SQL["knn_graph"] = (
     "SELECT query_id, neighbor_id, rn "
     f"FROM read_parquet('{_GOLDEN_DIR}/sf001_knn_graph.parquet')"
 )
+
+
+# ---------------------------------------------------------------------------
+# X49: duplicated-span token coverage (fixed-window exact-substring
+# dedup signal, Lee et al. 2022 "Deduplicating Training Data Makes
+# Language Models Better" — fixed L-token windows instead of the
+# suffix array; the detection side of substring dedup). A token
+# position counts as duplicated when ANY L-gram occurrence covering
+# it has >= 2 occurrences corpus-wide (within- or cross-doc).
+
+DUPSPAN_L = 8
+
+
+def _gram_pos_batch(b: pa.Table, k: int) -> pa.Table:
+    """(doc_id, pos, gram) rows — `_gram_batch` plus the 0-based token
+    position of each gram (same offset arithmetic, no per-row loop)."""
+    toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+    offs = toks.offsets.to_numpy().astype(np.int64)
+    flat = toks.values
+    doc_np = b["doc_id"].combine_chunks().to_numpy()
+    m = np.maximum(np.diff(offs) - (k - 1), 0)
+    total = int(m.sum())
+    base = np.repeat(offs[:-1], m)
+    within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+    idx = base + within
+    parts = [flat.take(pa.array(idx + j)) for j in range(k)]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.repeat(doc_np, m)),
+            "pos": pa.array(within, pa.int64()),
+            "gram": pc.binary_join_element_wise(*parts, " "),
+        }
+    )
+
+
+def q_doc_dup_spans(sf_dir: str):
+    """X49 plan: positional gram explode (materialized once — two
+    consumers) → occurrence count per gram (combiner) → grams with
+    count ≥ 2 semi-join back (size-gated) → vectorized coverage
+    explode (each hit covers pos..pos+L−1) → distinct (doc, token)
+    → per-doc combiner count, left-joined to per-doc token totals
+    (docs shorter than L tokens are out of scope on both sides).
+    Output: (doc_id, n_tokens, n_dup_tokens, dup_token_frac) with one
+    final division. At removal time the distinct (doc, token) table
+    is exactly the mask a cleaner would anti-join against."""
+    L = DUPSPAN_L
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    g = ds.map_batches(
+        lambda b: _gram_pos_batch(b, L), batch_format="pyarrow"
+    ).materialize()
+    per_gram = ops.grouped_sum_count(
+        g.select_columns(["gram"]), keys=["gram"], sums=[], count_alias="n"
+    )
+    dup = per_gram.filter(expr="n >= 2").select_columns(["gram"])
+    hits = ops.semi_join(g, "gram", dup, "gram")
+
+    def cover(b: pa.Table) -> pa.Table:
+        pos = b["pos"].to_numpy().astype(np.int64)
+        n = len(pos)
+        idx = np.repeat(np.arange(n, dtype=np.int64), L)
+        tok = np.repeat(pos, L) + np.tile(np.arange(L, dtype=np.int64), n)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].combine_chunks().take(pa.array(idx)),
+                "tok": pa.array(tok, pa.int64()),
+            }
+        )
+
+    cov = ops.distinct(
+        hits.map_batches(cover, batch_size=None, batch_format="pyarrow"),
+        ["doc_id", "tok"],
+    )
+    ndup = ops.grouped_sum_count(
+        cov, keys=["doc_id"], sums=[], count_alias="n_dup_tokens"
+    )
+
+    def totals(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        n = np.diff(toks.offsets.to_numpy().astype(np.int64))
+        keep = n >= L
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].combine_chunks().filter(pa.array(keep)),
+                "n_tokens": pa.array(n[keep], pa.int64()),
+            }
+        )
+
+    tot = ds.map_batches(totals, batch_size=None, batch_format="pyarrow")
+    j = ops.normalize_blocks(
+        ops.hash_join(
+            ops.drop_empty_blocks(tot),
+            ops.drop_empty_blocks(ndup),
+            on=("doc_id",),
+            join_type="left_outer",
+            num_partitions=NUM_JOIN_PARTITIONS,
+        ),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("n_dup_tokens", pa.int64()),
+            ]
+        ),
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        nd = pc.fill_null(b["n_dup_tokens"], 0)
+        frac = nd.to_numpy().astype(np.float64) / b["n_tokens"].to_numpy().astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": b["n_tokens"],
+                "n_dup_tokens": nd,
+                "dup_token_frac": pa.array(frac, pa.float64()),
+            }
+        )
+
+    return j.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+SQL_DOC_DUP_SPANS = """
+WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id, i AS pos, ARRAY_TO_STRING(toks[i:i+{lm1}], ' ') AS gram
+      FROM t, UNNEST(RANGE(1, LEN(toks) - {lm2})) u(i)),
+d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+cov AS (SELECT DISTINCT doc_id, pos + j AS tok
+        FROM g JOIN d USING (gram), UNNEST(RANGE(0, {l})) v(j)),
+tot AS (SELECT doc_id, CAST(LEN(toks) AS BIGINT) AS n_tokens
+        FROM t WHERE LEN(toks) >= {l}),
+c AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_tokens
+      FROM cov GROUP BY doc_id)
+SELECT tot.doc_id, tot.n_tokens,
+       COALESCE(c.n_dup_tokens, 0) AS n_dup_tokens,
+       CAST(COALESCE(c.n_dup_tokens, 0) AS DOUBLE)
+         / CAST(tot.n_tokens AS DOUBLE) AS dup_token_frac
+FROM tot LEFT JOIN c USING (doc_id)
+""".format(l=DUPSPAN_L, lm1=DUPSPAN_L - 1, lm2=DUPSPAN_L - 2)
+
+
+QUERIES["doc_dup_spans"] = q_doc_dup_spans
+ORACLE_SQL["doc_dup_spans"] = SQL_DOC_DUP_SPANS
