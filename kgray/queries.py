@@ -4059,3 +4059,108 @@ FROM tot LEFT JOIN c USING (doc_id)
 
 QUERIES["doc_dup_spans"] = q_doc_dup_spans
 ORACLE_SQL["doc_dup_spans"] = SQL_DOC_DUP_SPANS
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 14: global PERCENT_RANK (fourth consumer of the O4
+# prefix-sum primitive) and inverted-index / postings-list build.
+
+
+def q_orders_percent_rank(sf_dir: str):
+    """W5: global PERCENT_RANK over price — (rank−1)/(n−1) with a
+    unique (cents, key) sort order, so rank == row_number and the
+    0-based `seq_pos` from `ops.with_global_index` IS rank−1. n comes
+    from parquet metadata (no extra pass); ONE final division, oracle
+    written with the same explicit arithmetic (not the built-in
+    PERCENT_RANK) so both sides share the exact formula."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    n = ds.count()
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": b["o_orderkey"], "cents": ops.cents(b["o_totalprice"])}
+        )
+
+    idx = ops.with_global_index(
+        ds.map_batches(prep, batch_size=None, batch_format="pyarrow"),
+        ["cents", "o_orderkey"],
+    )
+    denom = float(n - 1)
+
+    def fin(b: pa.Table) -> pa.Table:
+        pr = b["seq_pos"].to_numpy().astype(np.float64) / denom
+        return pa.table(
+            {"o_orderkey": b["o_orderkey"], "pct_rank": pa.array(pr, pa.float64())}
+        )
+
+    return idx.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+SQL_ORDERS_PERCENT_RANK = """
+WITH c AS (
+  SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+n AS (SELECT COUNT(*) AS total FROM c)
+SELECT o_orderkey,
+       CAST(ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) - 1 AS DOUBLE)
+         / CAST(n.total - 1 AS DOUBLE) AS pct_rank
+FROM c, n
+"""
+
+
+def q_term_postings(sf_dir: str):
+    """X50: inverted-index (postings-list) build — per term, its
+    document frequency and the ascending comma-joined posting list of
+    doc ids. Plan: token explode (the `_gram_batch` kernel at k=1 —
+    zero per-row loops) → distinct (term, doc) combiner-dedup → one
+    shuffle on term → vectorized in-group sort+join. Scale note: a
+    real index shards a stop-word's postings across blocks (doc-range
+    sub-keys); here a term's postings fit a worker — the same
+    one-group-per-worker assumption as the cluster family, reasonable
+    after stopword filtering."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ops.distinct(
+        ds.map_batches(lambda b: _gram_batch(b, k=1), batch_format="pyarrow"),
+        ["doc_id", "gram"],
+    )
+
+    import pandas as pd
+
+    def per_term(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy().astype(np.int64))
+        return pd.DataFrame(
+            {
+                "term": [g["gram"].iloc[0]],
+                "df": np.array([len(ids)], dtype=np.int64),
+                "postings": [",".join(str(i) for i in ids)],
+            }
+        )
+
+    return pairs.groupby("gram").map_groups(per_term, batch_format="pandas")
+
+
+SQL_TERM_POSTINGS = """
+WITH p AS (
+  SELECT DISTINCT doc_id, tok AS term
+  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+)
+SELECT term, COUNT(*) AS df,
+       STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM p GROUP BY term
+"""
+
+
+QUERIES.update(
+    {
+        "orders_percent_rank": q_orders_percent_rank,
+        "term_postings": q_term_postings,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "orders_percent_rank": SQL_ORDERS_PERCENT_RANK,
+        "term_postings": SQL_TERM_POSTINGS,
+    }
+)

@@ -78,7 +78,7 @@ def _oracle_names():
     "user_distinct_types", "user_top_type", "docs_global_sample",
     "events_user_zscore", "doc_dup_ngrams", "contaminated_train_bloom",
     "cust_orders_skew", "docs_mixture_epochs", "hour_top_types",
-    "doc_dup_spans",
+    "doc_dup_spans", "orders_percent_rank", "term_postings",
 ])
 def test_query_vs_duckdb(ray_session, con, name):
     import __ray_entry__ as e
