@@ -4164,3 +4164,78 @@ ORACLE_SQL.update(
         "term_postings": SQL_TERM_POSTINGS,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 15: the from-scratch Levenshtein kernel under a real
+# DuckDB oracle (L2 was property-tested only — DuckDB ships
+# levenshtein(), fuzz-checked identical on 300 random pairs; its
+# jaro_winkler_similarity is a DIFFERENT variant, so JW stays
+# property-tested), and ISO day-of-week grouping (F3 family).
+
+
+def q_part_name_lev(sf_dir: str):
+    """Edit-distance scoring as a relational operator: per part, the
+    Levenshtein distance between its name and its type string —
+    kgray/similarity.py's from-scratch kernel vs DuckDB's built-in.
+    The per-pair DP is the kernel itself (no vectorized form exists);
+    embarrassingly parallel per batch, kernel-bound by design."""
+    from .similarity import levenshtein
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_type"])
+
+    def f(b: pa.Table) -> pa.Table:
+        names = b["p_name"].to_pylist()
+        types = b["p_type"].to_pylist()
+        d = [levenshtein(a or "", t or "") for a, t in zip(names, types)]
+        return pa.table(
+            {"p_partkey": b["p_partkey"], "lev": pa.array(d, pa.int64())}
+        )
+
+    return ds.map_batches(f, batch_size=None, batch_format="pyarrow")
+
+
+SQL_PART_NAME_LEV = """
+SELECT p_partkey, CAST(levenshtein(p_name, p_type) AS BIGINT) AS lev
+FROM part
+"""
+
+
+def q_events_by_dow(sf_dir: str):
+    """F3: ISO day-of-week grouped aggregate — Arrow's day_of_week
+    (Mon=0) shifted to ISODOW (Mon=1..Sun=7); combiner count + exact
+    cents sum per weekday."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def f(b: pa.Table) -> pa.Table:
+        dow = pc.add(pc.day_of_week(b["ts"]), 1)
+        return pa.table(
+            {
+                "isodow": pc.cast(dow, pa.int64()),
+                "value_cents": ops.cents(b["value"]),
+            }
+        )
+
+    return ops.grouped_sum_count(
+        ds.map_batches(f, batch_size=None, batch_format="pyarrow"),
+        keys=["isodow"],
+        sums=[("value_cents", "sum_value_cents")],
+        count_alias="n",
+    )
+
+
+SQL_EVENTS_BY_DOW = """
+SELECT CAST(ISODOW(ts) AS BIGINT) AS isodow,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {"part_name_lev": q_part_name_lev, "events_by_dow": q_events_by_dow}
+)
+ORACLE_SQL.update(
+    {"part_name_lev": SQL_PART_NAME_LEV, "events_by_dow": SQL_EVENTS_BY_DOW}
+)
