@@ -1343,3 +1343,83 @@ def skew_join(
     return normalize_blocks(hot_joined, out_schema).union(
         normalize_blocks(cold_joined, out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters over an UNBOUNDED value domain (round 3): the
+# scale path for `frequent_items`, whose combiner bounds the shuffle
+# to DISTINCT values — fine for event types, unbounded for n-grams /
+# URLs. Classic two-pass candidate+recount: per-block top-m candidate
+# generation (bounded), exact recount of the candidate union, and a
+# runtime guarantee check instead of silent approximation.
+
+
+def exact_heavy_hitters(
+    ds: Dataset,
+    col: str,
+    k: int,
+    *,
+    sketch_k: int = 1024,
+    count_alias: str = "n",
+) -> pa.Table:
+    """EXACT deterministic top-k (count desc, value asc) with bounded
+    memory everywhere: pass 1 keeps each block's top-`sketch_k` values
+    by in-block count (a value absent from a block's top-m has
+    in-block count ≤ n_i/m, so absent-from-every-block ⇒ total count
+    ≤ n/m — the candidate union is a superset of every value with
+    count > n/m); pass 2 recounts ONLY the candidates exactly
+    (broadcast `is_in` + combiner) and takes the global top-k. The
+    sketch can only FAIL LOUDLY: if the final k-th count does not
+    clear the n/sketch_k bound the guarantee is void and a ValueError
+    asks for a wider sketch — never a silently wrong set.
+
+    Two passes over `ds` by design (the input plan re-executes; cheap
+    projections recompute, heavyweight upstreams should be
+    materialized by the caller). Driver holds the DISTINCT candidate
+    union (≤ blocks × sketch_k, typically far less) and the final k
+    rows — never the value domain."""
+    cnt_col = f"{col}_count"
+
+    def block_top(b: pa.Table) -> pa.Table:
+        g = b.select([col]).group_by([col]).aggregate([(col, "count")])
+        idx = pc.sort_indices(
+            g, sort_keys=[(cnt_col, "descending"), (col, "ascending")]
+        )
+        top = g.take(idx[:sketch_k])[col]
+        vals = pa.concat_arrays(
+            [top.combine_chunks(), pa.nulls(1, type=top.type)]
+        )
+        bn = np.zeros(len(top) + 1, dtype=np.int64)
+        bn[-1] = b.num_rows
+        return pa.table({"v": vals, "bn": pa.array(bn)})
+
+    pass1 = ds.map_batches(
+        block_top, batch_size=None, batch_format="pyarrow"
+    ).materialize()  # bounded: blocks x (sketch_k + 1) rows
+    total = int(pass1.sum("bn"))
+    vtype = pass1.schema().base_schema.field("v").type  # materialized: no exec
+    cand = set(
+        _drop_null_keys(pass1.select_columns(["v"]), "v").unique("v")
+    )
+    if not cand:
+        return pa.schema(
+            [(col, vtype), (count_alias, pa.int64())]
+        ).empty_table()
+
+    counts = grouped_sum_count(
+        semi_join_filter(ds.select_columns([col]), col, cand),
+        keys=[col],
+        sums=[],
+        count_alias=count_alias,
+    )
+    top = collect_table(
+        topk(counts, [count_alias, col], k, descending=[True, False]),
+        pa.schema([(col, vtype), (count_alias, pa.int64())]),
+    )
+    kth = int(top[count_alias][-1].as_py()) if top.num_rows == k else 1
+    if kth * sketch_k <= total and not (top.num_rows < k and total < sketch_k):
+        raise ValueError(
+            f"exact_heavy_hitters guarantee void: kth count {kth} <= "
+            f"total/sketch_k = {total}/{sketch_k}; widen sketch_k"
+        )
+    return top

@@ -4239,3 +4239,24 @@ QUERIES.update(
 ORACLE_SQL.update(
     {"part_name_lev": SQL_PART_NAME_LEV, "events_by_dow": SQL_EVENTS_BY_DOW}
 )
+
+
+# X51: the unbounded-domain scale path of X32 — same result, same
+# oracle, bounded memory everywhere (ops.exact_heavy_hitters: per-block
+# top-m candidates + exact recount + loud guarantee check). Two passes
+# over the bigram explode by design.
+
+
+def q_doc_bigrams_top20_sketch(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bigrams(b: pa.Table) -> pa.Table:
+        g = _gram_batch(b, k=2)
+        return pa.table({"bg": g["gram"]})
+
+    bg = ds.map_batches(bigrams, batch_format="pyarrow")
+    return ops.exact_heavy_hitters(bg, "bg", BIGRAM_TOPK, sketch_k=1024)
+
+
+QUERIES["doc_bigrams_top20_sketch"] = q_doc_bigrams_top20_sketch
+ORACLE_SQL["doc_bigrams_top20_sketch"] = SQL_DOC_BIGRAMS_TOP20

@@ -277,3 +277,43 @@ def test_skew_join_parity(ray_session):
                 )
             )
             pd.testing.assert_frame_equal(got, want), (nblocks, thr)
+
+
+def test_exact_heavy_hitters(ray_session):
+    """Two-pass bounded heavy hitters == the exact combiner path when
+    the guarantee holds (including a regime where per-block candidate
+    pruning REALLY drops values), and raises loudly when the sketch
+    width is defeated — across block layouts."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from kgray import ops
+
+    rng = np.random.default_rng(13)
+    # heavies must clear the guarantee: 200 > total/sketch_k = 11000/64
+    heavy = np.repeat([f"h{i}" for i in range(30)], 200)  # 30 x 200
+    tail = [f"t{i}" for i in range(5000)]  # 5000 singletons
+    vals = np.concatenate([heavy, np.array(tail, dtype=object)])
+    rng.shuffle(vals)
+    t = pa.table({"v": pa.array(list(vals), pa.string())})
+
+    for nblocks in (1, 8):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        want = (
+            ops.frequent_items(ds, "v", 10)
+            .to_pandas()
+            .sort_values(["n", "v"], ascending=[False, True], ignore_index=True)
+        )
+        got = ops.exact_heavy_hitters(
+            rd.from_arrow(t).repartition(nblocks), "v", 10, sketch_k=64
+        ).to_pandas()
+        assert got.equals(want), nblocks
+
+    # near-uniform data defeats a tiny sketch -> loud failure
+    uni = pa.table({"v": pa.array([f"u{i % 400}" for i in range(4000)])})
+    with pytest.raises(ValueError, match="guarantee void"):
+        ops.exact_heavy_hitters(
+            rd.from_arrow(uni).repartition(4), "v", 10, sketch_k=2
+        )

@@ -79,7 +79,7 @@ def _oracle_names():
     "events_user_zscore", "doc_dup_ngrams", "contaminated_train_bloom",
     "cust_orders_skew", "docs_mixture_epochs", "hour_top_types",
     "doc_dup_spans", "orders_percent_rank", "term_postings",
-    "part_name_lev", "events_by_dow",
+    "part_name_lev", "events_by_dow", "doc_bigrams_top20_sketch",
 ])
 def test_query_vs_duckdb(ray_session, con, name):
     import __ray_entry__ as e
