@@ -50,4 +50,5 @@ def oracle_sql() -> dict[str, str]:
     # independent sequential implementation — write it now so the SQL
     # is runnable whenever the driver holds it
     q.write_multimodal_expected()
+    q.write_video_expected()
     return q.ORACLE_SQL

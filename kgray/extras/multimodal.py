@@ -201,3 +201,149 @@ def image_metadata(ds: Dataset) -> Dataset:
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Video plumbing (round 3): frame-sample + resize, the remaining two
+# stages the brief names. Fixture format ("KGVD", deterministic fake
+# video): 20-byte header magic(4) | nframes(4, BE) | width(4, BE) |
+# height(4, BE) | channels(4, BE), then nframes contiguous
+# w*h*c-byte frames.
+
+VMAGIC = b"KGVD"
+
+
+def make_video_table(n: int, seed: int = 43) -> pa.Table:
+    """Deterministic fake-video fixture (vid_id, video: binary,
+    nframes, width, height)."""
+    rng = np.random.default_rng(seed)
+    ids, blobs, nfs, ws, hs = [], [], [], [], []
+    for i in range(n):
+        nf = int(rng.integers(4, 17))
+        w = int(rng.integers(8, 17))
+        h = int(rng.integers(8, 17))
+        c = 3
+        payload = rng.integers(0, 256, size=nf * w * h * c, dtype=np.uint8).tobytes()
+        blobs.append(VMAGIC + struct.pack(">IIII", nf, w, h, c) + payload)
+        ids.append(i)
+        nfs.append(nf)
+        ws.append(w)
+        hs.append(h)
+    return pa.table(
+        {
+            "vid_id": pa.array(ids, type=pa.int64()),
+            "video": pa.array(blobs, type=pa.binary()),
+            "nframes": pa.array(nfs, type=pa.int32()),
+            "width": pa.array(ws, type=pa.int32()),
+            "height": pa.array(hs, type=pa.int32()),
+        }
+    )
+
+
+def sample_frames(ds: Dataset, stride: int = 4) -> Dataset:
+    """Frame sampling as a flat-map-shaped map_batches: one output row
+    per kept frame (frame_idx = 0, stride, 2*stride, ...), each frame
+    re-wrapped as a KGIM image blob so the stage COMPOSES with
+    `image_metadata` / `ImageFeaturizer` / `resize_images`. The
+    per-video loop is inherent (variable-size binary rows slice one at
+    a time — the same regime as decode); batches stay small because
+    rows are wide."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        out_v, out_f, out_img = [], [], []
+        for vid, blob in zip(
+            batch["vid_id"].to_pylist(), batch["video"].to_pylist()
+        ):
+            if not blob or blob[:4] != VMAGIC:
+                continue
+            nf, w, h, c = struct.unpack(">IIII", blob[4:20])
+            fb = w * h * c
+            for j in range(0, nf, stride):
+                frame = blob[20 + j * fb : 20 + (j + 1) * fb]
+                out_v.append(vid)
+                out_f.append(j)
+                out_img.append(MAGIC + struct.pack(">III", w, h, c) + frame)
+        return pa.table(
+            {
+                "vid_id": pa.array(out_v, type=pa.int64()),
+                "frame_idx": pa.array(out_f, type=pa.int64()),
+                "image": pa.array(out_img, type=pa.binary()),
+            }
+        )
+
+    return ds.map_batches(f, batch_size=32, batch_format="pyarrow")
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize, PURE INTEGER index
+    arithmetic (row i maps to floor(i*h/out_h)) — no float rounding to
+    drift between implementations."""
+    h, w, _ = img.shape
+    ri = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    ci = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return img[ri][:, ci]
+
+
+def resize_images(ds: Dataset, out_w: int, out_h: int) -> Dataset:
+    """Resize stage over KGIM blobs: decode (fixture codec) → nearest
+    resize → re-encode. Unknown formats pass through with
+    resize_ok=false (never raise — the M2 error-column convention)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        out, ok = [], []
+        for blob in batch["image"].to_pylist():
+            try:
+                img = decode_image(blob, "kgim")
+            except NotImplementedError:
+                out.append(blob)
+                ok.append(False)
+                continue
+            r = resize_nearest(img, out_w, out_h)
+            out.append(
+                MAGIC
+                + struct.pack(">III", out_w, out_h, img.shape[2])
+                + np.ascontiguousarray(r).tobytes()
+            )
+            ok.append(True)
+        t = batch.drop_columns(["image"])
+        return t.append_column("image", pa.array(out, type=pa.binary())).append_column(
+            "resize_ok", pa.array(ok, type=pa.bool_())
+        )
+
+    return ds.map_batches(f, batch_size=32, batch_format="pyarrow")
+
+
+def expected_video_table(n: int, stride: int = 4, out_wh: int = 8) -> pa.Table:
+    """Independent sequential oracle for the frame-sample → resize →
+    aggregate chain: per sampled frame, the int64 sum of the resized
+    pixels. Different code shape from the engine stages (pure-python
+    header parse, list-comprehension index gather, python-int sum)."""
+    src = make_video_table(n)
+    out_v, out_f, out_s = [], [], []
+    for i in range(n):
+        blob = src["video"][i].as_py()
+        nf = int.from_bytes(blob[4:8], "big")
+        w = int.from_bytes(blob[8:12], "big")
+        h = int.from_bytes(blob[12:16], "big")
+        c = int.from_bytes(blob[16:20], "big")
+        fb = w * h * c
+        ri = [(y * h) // out_wh for y in range(out_wh)]
+        ci = [(x * w) // out_wh for x in range(out_wh)]
+        for j in range(0, nf, stride):
+            frame = blob[20 + j * fb : 20 + (j + 1) * fb]
+            s = 0
+            for y in ri:
+                row = frame[y * w * c : (y + 1) * w * c]
+                for x in ci:
+                    px = row[x * c : (x + 1) * c]
+                    s += px[0] + px[1] + px[2]
+            out_v.append(i)
+            out_f.append(j)
+            out_s.append(s)
+    return pa.table(
+        {
+            "vid_id": pa.array(out_v, type=pa.int64()),
+            "frame_idx": pa.array(out_f, type=pa.int64()),
+            "px_sum": pa.array(out_s, type=pa.int64()),
+        }
+    )

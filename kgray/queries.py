@@ -4260,3 +4260,74 @@ def q_doc_bigrams_top20_sketch(sf_dir: str):
 
 QUERIES["doc_bigrams_top20_sketch"] = q_doc_bigrams_top20_sketch
 ORACLE_SQL["doc_bigrams_top20_sketch"] = SQL_DOC_BIGRAMS_TOP20
+
+
+# ---------------------------------------------------------------------------
+# X52: video frame-sample → resize → per-frame aggregate (the two
+# multimodal stages the brief names beyond decode/featurize), oracled
+# like multimodal_features: an independent sequential twin writes the
+# expected parquet that the SQL reads.
+
+VIDEO_ORACLE_PATH = "/tmp/kgray_oracle/video_expected_100.parquet"
+VIDEO_N, VIDEO_STRIDE, VIDEO_WH = 100, 4, 8
+
+
+def write_video_expected() -> str:
+    import pyarrow.parquet as _pq
+
+    from .extras import multimodal
+
+    os.makedirs(os.path.dirname(VIDEO_ORACLE_PATH), exist_ok=True)
+    _pq.write_table(
+        multimodal.expected_video_table(VIDEO_N, VIDEO_STRIDE, VIDEO_WH),
+        VIDEO_ORACLE_PATH,
+    )
+    return VIDEO_ORACLE_PATH
+
+
+def q_video_frame_features(sf_dir: str):
+    """X52: fixture videos → `sample_frames` (flat-map, every 4th
+    frame re-wrapped as an image blob) → `resize_images` (8×8 integer
+    nearest-neighbor) → vectorized per-frame pixel sum (exact int64).
+    The frame table is bounded (n·frames/stride rows) so the final
+    collect is small; the stages themselves stream."""
+    import ray.data as _rd
+
+    from .extras import multimodal
+
+    vids = _rd.from_arrow(multimodal.make_video_table(VIDEO_N))
+    frames = multimodal.resize_images(
+        multimodal.sample_frames(vids, stride=VIDEO_STRIDE), VIDEO_WH, VIDEO_WH
+    )
+
+    def px_sum(b: pa.Table) -> pa.Table:
+        blobs = b["image"].to_pylist()
+        sums = [
+            int(np.frombuffer(bl[16:], dtype=np.uint8).sum(dtype=np.int64))
+            for bl in blobs
+        ]
+        return pa.table(
+            {
+                "vid_id": b["vid_id"],
+                "frame_idx": b["frame_idx"],
+                "px_sum": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    out = frames.map_batches(px_sum, batch_size=None, batch_format="pyarrow")
+    return ops.collect_table(
+        out,
+        schema=pa.schema(
+            [("vid_id", pa.int64()), ("frame_idx", pa.int64()), ("px_sum", pa.int64())]
+        ),
+        sort_by=["vid_id", "frame_idx"],
+    )
+
+
+SQL_VIDEO_FRAME_FEATURES = (
+    "SELECT vid_id, frame_idx, px_sum "
+    f"FROM read_parquet('{VIDEO_ORACLE_PATH}')"
+)
+
+QUERIES["video_frame_features"] = q_video_frame_features
+ORACLE_SQL["video_frame_features"] = SQL_VIDEO_FRAME_FEATURES
