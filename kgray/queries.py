@@ -4331,3 +4331,56 @@ SQL_VIDEO_FRAME_FEATURES = (
 
 QUERIES["video_frame_features"] = q_video_frame_features
 ORACLE_SQL["video_frame_features"] = SQL_VIDEO_FRAME_FEATURES
+
+
+# ---------------------------------------------------------------------------
+# A15: grouped MIN/MAX extremes (the combiner pattern with order
+# statistics instead of sums — min/max merge associatively, so the
+# shuffle still carries one partial row per (key, batch)).
+
+
+def q_user_value_extremes(sf_dir: str):
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "c": ops.cents(b["value"]),
+                "ts_us": pc.cast(b["ts"], pa.int64()),
+            }
+        )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id"]).aggregate(
+            [("c", "min"), ("c", "max"), ("ts_us", "min"), ("ts_us", "max")]
+        )
+        return g.rename_columns(["user_id", "_cmin", "_cmax", "_tmin", "_tmax"])
+
+    agg = (
+        ds.map_batches(prep, batch_size=None, batch_format="pyarrow")
+        .map_batches(partial, batch_size=None, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Min("_cmin", alias_name="min_cents"),
+            Max("_cmax", alias_name="max_cents"),
+            Min("_tmin", alias_name="first_ts_us"),
+            Max("_tmax", alias_name="last_ts_us"),
+        )
+    )
+    return agg
+
+
+SQL_USER_VALUE_EXTREMES = """
+SELECT user_id,
+       MIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS min_cents,
+       MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS max_cents,
+       CAST(EPOCH_US(MIN(ts)) AS BIGINT) AS first_ts_us,
+       CAST(EPOCH_US(MAX(ts)) AS BIGINT) AS last_ts_us
+FROM events GROUP BY user_id
+"""
+
+QUERIES["user_value_extremes"] = q_user_value_extremes
+ORACLE_SQL["user_value_extremes"] = SQL_USER_VALUE_EXTREMES

@@ -73,6 +73,11 @@ def read_table(
     if format in ("arrow", "ipc", "feather"):
         ds = rd.read_datasource(IpcDatasource(path, **kwargs))
         return ds.select_columns(columns) if columns else ds
+    if format in ("binary", "binary_files"):
+        # multimodal ingest: one row per file, (bytes, path) — the
+        # idiomatic way raw image/audio/video blobs enter a pipeline;
+        # columns does not apply (the row IS the payload + provenance)
+        return rd.read_binary_files(path, include_paths=True, **kwargs)
     if format == "csv":
         ds = rd.read_csv(path, **kwargs)
     elif format in ("json", "jsonl"):

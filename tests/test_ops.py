@@ -317,3 +317,45 @@ def test_exact_heavy_hitters(ray_session):
         ops.exact_heavy_hitters(
             rd.from_arrow(uni).repartition(4), "v", 10, sketch_k=2
         )
+
+
+def test_binary_files_source(ray_session, tmp_path):
+    """S8: multimodal ingest via read_binary_files — KGIM blobs
+    written as loose files round-trip through the source and the
+    metadata stage agrees with the in-memory fixture table."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray import sources
+    from kgray.extras import multimodal
+
+    t = multimodal.make_image_table(20)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(t.num_rows):
+        (d / f"{t['img_id'][i].as_py():04d}.kgim").write_bytes(
+            t["image"][i].as_py()
+        )
+
+    ds = sources.read_table(str(d), format="binary_files")
+
+    def parse(b: pa.Table) -> pa.Table:
+        import os
+
+        ids = [
+            int(os.path.basename(p).split(".")[0]) for p in b["path"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "img_id": pa.array(ids, pa.int64()),
+                "image": pa.array(b["bytes"].to_pylist(), pa.binary()),
+            }
+        )
+
+    meta = multimodal.image_metadata(
+        ds.map_batches(parse, batch_format="pyarrow")
+    ).to_pandas().sort_values("img_id", ignore_index=True)
+    want = multimodal.image_metadata(
+        rd.from_arrow(t.select(["img_id", "image"]))
+    ).to_pandas().sort_values("img_id", ignore_index=True)
+    assert meta.equals(want)

@@ -80,7 +80,7 @@ def _oracle_names():
     "cust_orders_skew", "docs_mixture_epochs", "hour_top_types",
     "doc_dup_spans", "orders_percent_rank", "term_postings",
     "part_name_lev", "events_by_dow", "doc_bigrams_top20_sketch",
-    "video_frame_features",
+    "video_frame_features", "user_value_extremes",
 ])
 def test_query_vs_duckdb(ray_session, con, name):
     import __ray_entry__ as e
