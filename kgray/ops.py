@@ -1423,3 +1423,188 @@ def exact_heavy_hitters(
             f"total/sketch_k = {total}/{sketch_k}; widen sketch_k"
         )
     return top
+
+
+def pagerank(
+    edges: Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iters: int = 3,
+    scale: int = 1_000_000,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    num_partitions: int = 16,
+) -> Dataset:
+    """G2: deterministic fixed-point PageRank over a directed edge
+    Dataset — the weighted-push sibling of
+    `connected_components_distributed` (G1 pushes min labels; G2
+    pushes rank mass). Returns one row per node appearing in `edges`:
+    (node, rank_fp) with rank in fixed-point units of 1/`scale`.
+
+    All arithmetic is int64 so the result is bit-identical on any
+    block layout / cluster size AND exactly reproducible in SQL:
+    r0 = scale; per edge u->v the pushed mass is
+    floor(damp_num * r(u) / (damp_den * outdeg(u))); r'(v) =
+    scale*(damp_den-damp_num)//damp_den + sum(in-pushes). Nodes with
+    no out-edges (dangling) simply drop their mass — the documented
+    variant (no dangling redistribution term), chosen because it
+    keeps each iteration ONE join + ONE combiner groupby.
+
+    Per iteration: hash-join the O(nodes) rank table to the static
+    (src, dst, outdeg) edge table on src (both stay Datasets — no
+    driver materialization), a per-block combiner sums pushes before
+    the groupby shuffle, and a left-outer join back to the node table
+    re-seats nodes with no in-edges at the base rank. The edge+outdeg
+    table and each iteration's rank table are materialized once so
+    the static sub-plan never re-executes (iters is a small constant;
+    total work O(iters * |E|)). Overflow bound: sum of all ranks is
+    <= |V|*scale per iteration, far inside int64 for any |V| that
+    fits storage. Inputs are compacted with `drop_empty_blocks` (Ray
+    2.49 empty-first-block join hazard, see its docstring)."""
+    e = drop_empty_blocks(
+        edges.map_batches(
+            lambda b: pa.table(
+                {
+                    "src": pc.cast(b[src], pa.int64()),
+                    "dst": pc.cast(b[dst], pa.int64()),
+                }
+            ),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+    ).materialize()
+
+    # static out-degree rides the edge table: one join, ever
+    deg = grouped_sum_count(e, keys=["src"], sums=[], count_alias="deg")
+    e3_schema = pa.schema(
+        [("src", pa.int64()), ("dst", pa.int64()), ("deg", pa.int64())]
+    )
+    e3 = (
+        normalize_blocks(
+            hash_join(
+                e,
+                drop_empty_blocks(deg).map_batches(
+                    lambda b: pa.table({"jsrc": b["src"], "deg": b["deg"]}),
+                    batch_size=None,
+                    batch_format="pyarrow",
+                ),
+                on=("src",),
+                right_on=("jsrc",),
+                num_partitions=num_partitions,
+            ),
+            e3_schema,
+        )
+        .materialize()
+    )
+
+    nodes = drop_empty_blocks(
+        distinct(
+            e.map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": pa.concat_arrays(
+                            [
+                                b["src"].combine_chunks(),
+                                b["dst"].combine_chunks(),
+                            ]
+                        )
+                    }
+                ),
+                batch_size=None,
+                batch_format="pyarrow",
+            ),
+            ["node"],
+        )
+    ).materialize()
+
+    base = scale * (damp_den - damp_num) // damp_den
+    rank_schema = pa.schema([("node", pa.int64()), ("rank_fp", pa.int64())])
+    ranks = nodes.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"],
+                "rank_fp": pa.array(
+                    np.full(b.num_rows, scale, dtype=np.int64)
+                ),
+            }
+        ),
+        batch_size=None,
+        batch_format="pyarrow",
+    ).materialize()
+
+    dn, dd = damp_num, damp_den
+
+    def push(b: pa.Table) -> pa.Table:
+        r = b["rank_fp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = b["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        contrib = (dn * r) // (dd * d)
+        # combiner: per-block partial sum per dst before the shuffle
+        t = pa.table({"dst": b["dst"], "s": pa.array(contrib)})
+        return (
+            t.group_by(["dst"]).aggregate([("s", "sum")])
+            .rename_columns(["dst", "s"])
+        )
+
+    for _ in range(iters):
+        rj = ranks.map_batches(
+            lambda b: pa.table({"jn": b["node"], "rank_fp": b["rank_fp"]}),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+        pushed = (
+            normalize_blocks(
+                hash_join(
+                    e3,
+                    drop_empty_blocks(rj),
+                    on=("src",),
+                    right_on=("jn",),
+                    num_partitions=num_partitions,
+                ),
+                pa.schema(
+                    [
+                        ("src", pa.int64()),
+                        ("dst", pa.int64()),
+                        ("deg", pa.int64()),
+                        ("rank_fp", pa.int64()),
+                    ]
+                ),
+            )
+            .map_batches(push, batch_size=None, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("s", alias_name="s"))
+        )
+        merged = normalize_blocks(
+            hash_join(
+                nodes,
+                drop_empty_blocks(pushed).map_batches(
+                    lambda b: pa.table({"jd": b["dst"], "s": b["s"]}),
+                    batch_size=None,
+                    batch_format="pyarrow",
+                ),
+                on=("node",),
+                right_on=("jd",),
+                join_type="left_outer",
+                num_partitions=num_partitions,
+            ),
+            pa.schema([("node", pa.int64()), ("s", pa.int64())]),
+        )
+        ranks = drop_empty_blocks(
+            normalize_blocks(
+                merged.map_batches(
+                    lambda b: pa.table(
+                        {
+                            "node": b["node"],
+                            "rank_fp": pc.add(
+                                pc.fill_null(pc.cast(b["s"], pa.int64()), 0),
+                                base,
+                            ),
+                        }
+                    ),
+                    batch_size=None,
+                    batch_format="pyarrow",
+                ),
+                rank_schema,
+            )
+        ).materialize()
+    return ranks

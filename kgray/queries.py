@@ -4384,3 +4384,56 @@ FROM events GROUP BY user_id
 
 QUERIES["user_value_extremes"] = q_user_value_extremes
 ORACLE_SQL["user_value_extremes"] = SQL_USER_VALUE_EXTREMES
+
+
+def q_orders_pagerank(sf_dir: str):
+    """G2: deterministic integer PageRank (3 fixed-point push rounds)
+    over the customer->order-bucket digraph (dst = o_orderkey % 1500,
+    a constant so every scale factor runs the same rule). Exercises
+    the iterative join+combiner machinery of `ops.pagerank`; the
+    oracle unrolls the identical integer recurrence in SQL."""
+    import numpy as np
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        dst = b["o_orderkey"].to_numpy(zero_copy_only=False) % 1500
+        return pa.table(
+            {"src": b["o_custkey"], "dst": pa.array(dst.astype(np.int64))}
+        )
+
+    e = ops.distinct(
+        ds.map_batches(edges, batch_size=None, batch_format="pyarrow"),
+        ["src", "dst"],
+    )
+    return ops.pagerank(e, "src", "dst", iters=3)
+
+
+def _pagerank_sql() -> str:
+    head = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS src, o_orderkey % 1500 AS dst FROM orders
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    steps = []
+    for i in range(1, 4):
+        steps.append(
+            f""",
+p{i} AS (SELECT e.dst AS node, SUM((85 * r{i-1}.r) // (100 * d.deg)) AS s
+       FROM edges e
+       JOIN deg d ON e.src = d.src
+       JOIN r{i-1} ON e.src = r{i-1}.node
+       GROUP BY e.dst),
+r{i} AS (SELECT n.node, CAST(150000 + COALESCE(p{i}.s, 0) AS BIGINT) AS r
+       FROM nodes n LEFT JOIN p{i} ON n.node = p{i}.node)"""
+        )
+    return head + "".join(steps) + "\nSELECT node, r AS rank_fp FROM r3"
+
+
+SQL_ORDERS_PAGERANK = _pagerank_sql()
+
+QUERIES["orders_pagerank"] = q_orders_pagerank
+ORACLE_SQL["orders_pagerank"] = SQL_ORDERS_PAGERANK

@@ -359,3 +359,49 @@ def test_binary_files_source(ray_session, tmp_path):
         rd.from_arrow(t.select(["img_id", "image"]))
     ).to_pandas().sort_values("img_id", ignore_index=True)
     assert meta.equals(want)
+
+
+def test_pagerank_matches_sequential_twin(ray_session):
+    """G2: the distributed integer PageRank equals an independent
+    sequential evaluation of the same fixed-point recurrence on a
+    small graph with a dangling node (4) and a node with no in-edges
+    (5)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray import ops
+
+    E = [(1, 2), (2, 3), (3, 1), (1, 3), (3, 4), (5, 1)]
+    got = (
+        ops.pagerank(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "src": pa.array([a for a, _ in E], pa.int64()),
+                        "dst": pa.array([b for _, b in E], pa.int64()),
+                    }
+                )
+            ).repartition(4),
+            "src",
+            "dst",
+            iters=3,
+        )
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+
+    nodes = sorted({n for e in E for n in e})
+    deg = {}
+    for a, _ in E:
+        deg[a] = deg.get(a, 0) + 1
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(3):
+        nxt = {n: 150_000 for n in nodes}
+        for a, b in E:
+            nxt[b] += (85 * r[a]) // (100 * deg[a])
+        r = nxt
+    assert got["node"].tolist() == nodes
+    assert got["rank_fp"].tolist() == [r[n] for n in nodes]
+    # dangling node 4 keeps only base + in-push; source node 5 sits at base
+    assert r[5] == 150_000
