@@ -1608,3 +1608,83 @@ def pagerank(
             )
         ).materialize()
     return ranks
+
+
+def cms_build(
+    ds: Dataset,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 7,
+) -> np.ndarray:
+    """X46: Count-Min sketch of an int64 key column — the mergeable
+    bounded-memory frequency summary (Cormode & Muthukrishnan 2005).
+    Returns the dense (depth, width) int64 counter array; estimates
+    come from `cms_estimate`. Row j hashes keys with
+    splitmix64(key XOR (seed+j)) % width, so the whole sketch is a
+    pure function of the data — deterministic across block layouts /
+    cluster sizes AND exactly reconstructable in SQL (the oracle
+    rebuilds the identical counters via `splitmix64_sql`).
+
+    Distribution: one `map_batches` pass emits each block's NONZERO
+    (j, bucket, n) partial counters (np.bincount per row — at most
+    depth*width rows leave a worker per block, usually far fewer), a
+    combiner groupby sums them, and the driver collects only the
+    <= depth*width final rows — never the keys. Use when even the
+    distinct-key table of `exact_heavy_hitters` is too wide and an
+    overestimate bounded by eps*n (eps = e/width) is acceptable."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = (
+            b[key_col]
+            .combine_chunks()
+            .to_numpy()
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+        js, buckets, ns = [], [], []
+        for j in range(depth):
+            cnt = np.bincount(
+                (_mix64(k ^ np.uint64(seed + j)) % np.uint64(width)).astype(
+                    np.int64
+                ),
+                minlength=width,
+            )
+            nz = np.flatnonzero(cnt)
+            js.append(np.full(len(nz), j, dtype=np.int64))
+            buckets.append(nz.astype(np.int64))
+            ns.append(cnt[nz].astype(np.int64))
+        return pa.table(
+            {
+                "j": np.concatenate(js),
+                "bucket": np.concatenate(buckets),
+                "n": np.concatenate(ns),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_size=None, batch_format="pyarrow")
+        .groupby(["j", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )  # bounded: <= depth * width rows
+    sk = np.zeros((depth, width), dtype=np.int64)
+    for r in rows:
+        sk[int(r["j"]), int(r["bucket"])] = int(r["n"])
+    return sk
+
+
+def cms_estimate(
+    keys: np.ndarray, sketch: np.ndarray, *, seed: int = 7
+) -> np.ndarray:
+    """Point-frequency estimates from a `cms_build` sketch: the min
+    over rows of the counter each key hashes to (vectorized; never
+    underestimates, overestimate <= eps*n w.h.p.)."""
+    depth, width = sketch.shape
+    k = np.asarray(keys).astype(np.int64).view(np.uint64)
+    est = np.full(len(k), np.iinfo(np.int64).max, dtype=np.int64)
+    for j in range(depth):
+        b = (_mix64(k ^ np.uint64(seed + j)) % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, sketch[j, b])
+    return est

@@ -4437,3 +4437,58 @@ SQL_ORDERS_PAGERANK = _pagerank_sql()
 
 QUERIES["orders_pagerank"] = q_orders_pagerank
 ORACLE_SQL["orders_pagerank"] = SQL_ORDERS_PAGERANK
+
+
+def q_user_cms_counts(sf_dir: str):
+    """X46: Count-Min-sketch estimated event count per user. The
+    sketch is built in one combiner-bounded pass (<= depth*width rows
+    ever reach the driver), broadcast ONCE via ray.put, and the
+    distinct-user table is estimated map-side. Deterministic hashes
+    make the ESTIMATE itself oracle-checkable: the SQL rebuilds the
+    identical counters and takes the same row-wise minimum."""
+    import numpy as np
+    import ray as _ray
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    sketch = ops.cms_build(ds, "user_id", depth=4, width=1024, seed=7)
+    sk_ref = _ray.put(sketch)
+    users = ops.distinct(ds, ["user_id"])
+
+    def est(b: pa.Table) -> pa.Table:
+        sk = _ray.get(sk_ref)
+        u = b["user_id"].combine_chunks().to_numpy()
+        return pa.table(
+            {"user_id": b["user_id"], "est_n": ops.cms_estimate(u, sk, seed=7)}
+        )
+
+    return users.map_batches(est, batch_size=None, batch_format="pyarrow")
+
+
+def _cms_sql(depth: int = 4, width: int = 1024, seed: int = 7) -> str:
+    parts = ["WITH keys AS (SELECT DISTINCT user_id FROM events)"]
+    ests = []
+    for j in range(depth):
+        hj = ops.splitmix64_sql("events", "user_id", ["user_id"], seed=seed + j)
+        kj = ops.splitmix64_sql("keys", "user_id", ["user_id"], seed=seed + j)
+        parts.append(
+            f""",
+c{j} AS (SELECT h % {width}::UBIGINT AS bucket, COUNT(*) AS n
+        FROM ({hj}) GROUP BY bucket),
+e{j} AS (SELECT k.user_id, c{j}.n
+        FROM (SELECT user_id, h % {width}::UBIGINT AS bucket FROM ({kj})) k
+        JOIN c{j} USING (bucket))"""
+        )
+        ests.append(f"e{j}.n")
+    joins = "".join(f" JOIN e{j} USING (user_id)" for j in range(1, depth))
+    return (
+        "".join(parts)
+        + f"""
+SELECT e0.user_id, CAST(LEAST({', '.join(ests)}) AS BIGINT) AS est_n
+FROM e0{joins}"""
+    )
+
+
+SQL_USER_CMS_COUNTS = _cms_sql()
+
+QUERIES["user_cms_counts"] = q_user_cms_counts
+ORACLE_SQL["user_cms_counts"] = SQL_USER_CMS_COUNTS

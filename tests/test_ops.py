@@ -405,3 +405,27 @@ def test_pagerank_matches_sequential_twin(ray_session):
     assert got["rank_fp"].tolist() == [r[n] for n in nodes]
     # dangling node 4 keeps only base + in-push; source node 5 sits at base
     assert r[5] == 150_000
+
+
+def test_cms_sketch_guarantee_and_layout_independence(ray_session):
+    """X46: with a deliberately undersized sketch (width 8, heavy
+    collisions) the CMS estimate never underestimates the true count,
+    and the sketch is bit-identical across block layouts."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray import ops
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 40, size=5000, dtype=np.int64)
+    t = pa.table({"k": keys})
+    sk1 = ops.cms_build(rd.from_arrow(t).repartition(7), "k", depth=4, width=8)
+    sk2 = ops.cms_build(rd.from_arrow(t).repartition(1), "k", depth=4, width=8)
+    assert np.array_equal(sk1, sk2)
+
+    uniq, true = np.unique(keys, return_counts=True)
+    est = ops.cms_estimate(uniq, sk1)
+    assert (est >= true).all()
+    # every row of the sketch conserves total mass
+    assert (sk1.sum(axis=1) == len(keys)).all()
