@@ -1688,3 +1688,54 @@ def cms_estimate(
         b = (_mix64(k ^ np.uint64(seed + j)) % np.uint64(width)).astype(np.int64)
         est = np.minimum(est, sketch[j, b])
     return est
+
+
+def cube_from_finest(
+    fine: pa.Table,
+    dims: list[str],
+    metrics: list[str],
+    *,
+    sentinel: str = "ALL",
+) -> pa.Table:
+    """A16: CUBE / arbitrary grouping sets derived from the
+    FINEST-level aggregate — every coarser of the 2^d levels is a
+    re-aggregation of the bounded (|dim-combos|-row) finest table,
+    never of the input, so a full cube costs exactly ONE distributed
+    groupby regardless of corpus size (the same plan shape as the
+    ROLLUP query, generalized). `fine` must carry `dims` (any type —
+    cast to string here so the sentinel can slot in) and additive
+    int64 `metrics` (counts / cents sums). Rows for a level where a
+    dim is aggregated away carry `sentinel` in that column."""
+    from itertools import combinations
+
+    base = pa.table(
+        {
+            **{d: pc.cast(fine[d], pa.string()) for d in dims},
+            **{m: fine[m] for m in metrics},
+        }
+    )
+    out = []
+    for r in range(len(dims), -1, -1):
+        for keep in combinations(dims, r):
+            if keep:
+                g = base.group_by(list(keep)).aggregate(
+                    [(m, "sum") for m in metrics]
+                )
+                cols = {}
+                for d in dims:
+                    cols[d] = (
+                        g[d]
+                        if d in keep
+                        else pa.array([sentinel] * g.num_rows)
+                    )
+                for m in metrics:
+                    cols[m] = pc.cast(g[f"{m}_sum"], pa.int64())
+                out.append(pa.table(cols))
+            else:
+                cols = {d: pa.array([sentinel]) for d in dims}
+                for m in metrics:
+                    cols[m] = pa.array(
+                        [pc.sum(base[m]).as_py() or 0], type=pa.int64()
+                    )
+                out.append(pa.table(cols))
+    return pa.concat_tables(out)

@@ -4492,3 +4492,57 @@ SQL_USER_CMS_COUNTS = _cms_sql()
 
 QUERIES["user_cms_counts"] = q_user_cms_counts
 ORACLE_SQL["user_cms_counts"] = SQL_USER_CMS_COUNTS
+
+
+def q_events_cube(sf_dir: str):
+    """A16: full CUBE over (event_type, isodow) — all four grouping
+    sets with 'ALL' sentinels. One distributed combiner groupby
+    computes the finest level; every coarser level re-aggregates that
+    bounded table via `ops.cube_from_finest` (cube cost is independent
+    of corpus size)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "isodow": pc.cast(pc.add(pc.day_of_week(b["ts"]), 1), pa.int64()),
+                "cents": ops.cents(b["value"]),
+            }
+        )
+
+    fine = ops.grouped_sum_count(
+        ds.map_batches(prep, batch_size=None, batch_format="pyarrow"),
+        keys=["event_type", "isodow"],
+        sums=[("cents", "sum_cents")],
+        count_alias="n",
+    )
+    fine_t = ops.collect_table(
+        fine,
+        schema=pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("isodow", pa.int64()),
+                ("sum_cents", pa.int64()),
+                ("n", pa.int64()),
+            ]
+        ),
+    )
+    return ops.cube_from_finest(
+        fine_t, ["event_type", "isodow"], ["n", "sum_cents"]
+    )
+
+
+SQL_EVENTS_CUBE = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(CAST(isodow AS VARCHAR), 'ALL') AS isodow,
+       COUNT(*) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM (SELECT event_type, CAST(ISODOW(ts) AS BIGINT) AS isodow,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events)
+GROUP BY CUBE (event_type, isodow)
+"""
+
+QUERIES["events_cube"] = q_events_cube
+ORACLE_SQL["events_cube"] = SQL_EVENTS_CUBE
