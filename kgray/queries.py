@@ -4546,3 +4546,82 @@ GROUP BY CUBE (event_type, isodow)
 
 QUERIES["events_cube"] = q_events_cube
 ORACLE_SQL["events_cube"] = SQL_EVENTS_CUBE
+
+
+def q_user_retention_cohorts(sf_dir: str):
+    """X47: cohort retention — users grouped by first-active day,
+    counted at each later active-day offset (the standard
+    training-telemetry retention triangle). Plan: combiner-distinct
+    (user, day) pairs bound the shuffle to active pairs; the cohort
+    (per-user min day) is a combiner groupby over that table; ONE
+    hash join attaches cohorts back and a final combiner groupby
+    counts — the distinct pair table materializes once and feeds both
+    sides (no double execution)."""
+    from ray.data.aggregate import Min as _Min
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    DAY_US = 86400 * 1_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "wk": pc.divide(us, DAY_US),
+            }
+        )
+
+    weeks = ops.distinct(
+        ds.map_batches(prep, batch_size=None, batch_format="pyarrow"),
+        ["user_id", "wk"],
+    ).materialize()  # feeds both the cohort aggregate and the join
+    cohort = (
+        weeks.map_batches(
+            lambda b: b.group_by(["user_id"]).aggregate([("wk", "min")])
+            .rename_columns(["jid", "cw"]),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+        .groupby("jid")
+        .aggregate(_Min("cw", alias_name="cw"))
+    )
+    joined = ops.normalize_blocks(
+        ops.hash_join(
+            weeks,
+            ops.drop_empty_blocks(cohort),
+            on=("user_id",),
+            right_on=("jid",),
+        ),
+        pa.schema(
+            [("user_id", pa.int64()), ("wk", pa.int64()), ("cw", pa.int64())]
+        ),
+    )
+
+    def offs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_day": b["cw"],
+                "day_offset": pc.subtract(b["wk"], b["cw"]),
+            }
+        )
+
+    return ops.grouped_sum_count(
+        joined.map_batches(offs, batch_size=None, batch_format="pyarrow"),
+        keys=["cohort_day", "day_offset"],
+        sums=[],
+        count_alias="n_users",
+    )
+
+
+SQL_USER_RETENTION = """
+WITH w AS (SELECT DISTINCT user_id, EPOCH_US(ts) // 86400000000 AS wk
+           FROM events),
+c AS (SELECT user_id, MIN(wk) AS cw FROM w GROUP BY user_id)
+SELECT CAST(c.cw AS BIGINT) AS cohort_day,
+       CAST(w.wk - c.cw AS BIGINT) AS day_offset,
+       COUNT(*) AS n_users
+FROM w JOIN c USING (user_id) GROUP BY 1, 2
+"""
+
+QUERIES["user_retention_cohorts"] = q_user_retention_cohorts
+ORACLE_SQL["user_retention_cohorts"] = SQL_USER_RETENTION
