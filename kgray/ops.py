@@ -1739,3 +1739,124 @@ def cube_from_finest(
                     )
                 out.append(pa.table(cols))
     return pa.concat_tables(out)
+
+
+def profile_columns(ds: Dataset, cols: list[str]) -> pa.Table:
+    """X48: one-shot data-quality profile — per column: row count,
+    null count, exact distinct count, min and max (stringified so
+    mixed int/string columns share one schema). Two bounded passes:
+    (1) per-block (col, n, nulls, min, max) partials merged by a
+    combiner groupby on the column name — O(#cols) rows ever shuffle;
+    (2) per-block-deduped (col, value) pairs through the distinct
+    combiner, counted per column — shuffle bounded by distinct values
+    (the profile's only data-sized term; bucket first for unbounded
+    domains). The driver assembles #cols rows. Input plan executes
+    twice by design (pruned read; materialize upstream if derived)."""
+
+    def stats(b: pa.Table) -> pa.Table:
+        # min/max partials stay in NATIVE type (an int min merged as
+        # a string would order "150" < "9"): int columns ride min_i/
+        # max_i, string columns ride min_s/max_s, the other pair is
+        # null and ignored by the Min/Max merge.
+        names, ns, nulls = [], [], []
+        min_i, max_i, min_s, max_s = [], [], [], []
+        for c in cols:
+            a = b[c]
+            mm = pc.min_max(a)
+            names.append(c)
+            ns.append(b.num_rows)
+            nulls.append(a.null_count)
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            if pa.types.is_integer(a.type):
+                min_i.append(mn), max_i.append(mx)
+                min_s.append(None), max_s.append(None)
+            else:
+                min_s.append(mn), max_s.append(mx)
+                min_i.append(None), max_i.append(None)
+        return pa.table(
+            {
+                "col_name": pa.array(names, pa.string()),
+                "n_rows": pa.array(ns, pa.int64()),
+                "n_nulls": pa.array(nulls, pa.int64()),
+                "min_i": pa.array(min_i, pa.int64()),
+                "max_i": pa.array(max_i, pa.int64()),
+                "min_s": pa.array(min_s, pa.string()),
+                "max_s": pa.array(max_s, pa.string()),
+            }
+        )
+
+    agg = collect_table(
+        ds.map_batches(stats, batch_size=None, batch_format="pyarrow")
+        .groupby("col_name")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_nulls", alias_name="n_nulls"),
+            Min("min_i", alias_name="min_i"),
+            Max("max_i", alias_name="max_i"),
+            Min("min_s", alias_name="min_s"),
+            Max("max_s", alias_name="max_s"),
+        ),
+        pa.schema(
+            [
+                ("col_name", pa.string()),
+                ("n_rows", pa.int64()),
+                ("n_nulls", pa.int64()),
+                ("min_i", pa.int64()),
+                ("max_i", pa.int64()),
+                ("min_s", pa.string()),
+                ("max_s", pa.string()),
+            ]
+        ),
+    )
+    min_str = [
+        (s if s is not None else (None if i is None else str(i)))
+        for s, i in zip(agg["min_s"].to_pylist(), agg["min_i"].to_pylist())
+    ]
+    max_str = [
+        (s if s is not None else (None if i is None else str(i)))
+        for s, i in zip(agg["max_s"].to_pylist(), agg["max_i"].to_pylist())
+    ]
+    agg = (
+        agg.drop_columns(["min_i", "max_i", "min_s", "max_s"])
+        .append_column("min_str", pa.array(min_str, pa.string()))
+        .append_column("max_str", pa.array(max_str, pa.string()))
+    )
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ks, vs = [], []
+        for c in cols:
+            u = pc.unique(pc.drop_null(b[c]))
+            ks.append(pa.array([c] * len(u), pa.string()))
+            vs.append(pc.cast(u, pa.string()))
+        return pa.table(
+            {
+                "col_name": pa.concat_arrays([k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k for k in ks]),
+                "val": pa.concat_arrays([v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v for v in vs]),
+            }
+        )
+
+    nd = collect_table(
+        grouped_sum_count(
+            distinct(
+                ds.map_batches(pairs, batch_size=None, batch_format="pyarrow"),
+                ["col_name", "val"],
+            ),
+            keys=["col_name"],
+            sums=[],
+            count_alias="n_distinct",
+        ),
+        pa.schema([("col_name", pa.string()), ("n_distinct", pa.int64())]),
+    )
+    dmap = dict(
+        zip(nd["col_name"].to_pylist(), nd["n_distinct"].to_pylist())
+    )
+    order = {c: i for i, c in enumerate(cols)}
+    idx = pc.sort_indices(
+        pa.table({"o": pa.array([order[c] for c in agg["col_name"].to_pylist()])}),
+        sort_keys=[("o", "ascending")],
+    )
+    agg = agg.take(idx)
+    return agg.append_column(
+        "n_distinct",
+        pa.array([dmap.get(c, 0) for c in agg["col_name"].to_pylist()], pa.int64()),
+    )

@@ -4625,3 +4625,32 @@ FROM w JOIN c USING (user_id) GROUP BY 1, 2
 
 QUERIES["user_retention_cohorts"] = q_user_retention_cohorts
 ORACLE_SQL["user_retention_cohorts"] = SQL_USER_RETENTION
+
+
+def q_orders_profile(sf_dir: str):
+    """X48: data-quality column profile of the orders table — row /
+    null / exact-distinct counts and native-typed min/max per column
+    (see `ops.profile_columns` for the two bounded passes)."""
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    ds = _read(sf_dir, "orders", cols)
+    return ops.profile_columns(ds, cols)
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]:
+        parts.append(
+            f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_str,
+       CAST(MAX({c}) AS VARCHAR) AS max_str
+FROM orders"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_ORDERS_PROFILE = _profile_sql()
+
+QUERIES["orders_profile"] = q_orders_profile
+ORACLE_SQL["orders_profile"] = SQL_ORDERS_PROFILE

@@ -429,3 +429,30 @@ def test_cms_sketch_guarantee_and_layout_independence(ray_session):
     assert (est >= true).all()
     # every row of the sketch conserves total mass
     assert (sk1.sum(axis=1) == len(keys)).all()
+
+
+def test_profile_columns_native_minmax_and_nulls(ray_session):
+    """X48: min/max partials merge in NATIVE type (a string merge
+    would order '150' < '9'), nulls counted, distinct exact — across
+    an adversarial multi-block layout."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray import ops
+
+    t = pa.table(
+        {
+            "k": pa.array([150, 9, 1000, None, 9], pa.int64()),
+            "s": pa.array(["b", None, "a", "zz", "a"], pa.string()),
+        }
+    )
+    got = ops.profile_columns(rd.from_arrow(t).repartition(5), ["k", "s"])
+    rows = {r["col_name"]: r for r in got.to_pylist()}
+    assert rows["k"] == {
+        "col_name": "k", "n_rows": 5, "n_nulls": 1, "min_str": "9",
+        "max_str": "1000", "n_distinct": 3,
+    }
+    assert rows["s"] == {
+        "col_name": "s", "n_rows": 5, "n_nulls": 1, "min_str": "a",
+        "max_str": "zz", "n_distinct": 3,
+    }
