@@ -4654,3 +4654,37 @@ SQL_ORDERS_PROFILE = _profile_sql()
 
 QUERIES["orders_profile"] = q_orders_profile
 ORACLE_SQL["orders_profile"] = SQL_ORDERS_PROFILE
+
+
+def q_graph_triangles(sf_dir: str):
+    """G3: exact triangle count of the undirected customer/order-
+    bucket graph (same edge rule as `orders_pagerank` so the two
+    graph operators share one corpus-derived graph)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        dst = b["o_orderkey"].to_numpy(zero_copy_only=False) % 1500
+        return pa.table(
+            {"src": b["o_custkey"], "dst": pa.array(dst.astype(np.int64))}
+        )
+
+    e = ds.map_batches(edges, batch_size=None, batch_format="pyarrow")
+    return ops.triangle_count(e, "src", "dst")
+
+
+SQL_GRAPH_TRIANGLES = """
+WITH e AS (
+  SELECT DISTINCT LEAST(o_custkey, o_orderkey % 1500) AS a,
+                  GREATEST(o_custkey, o_orderkey % 1500) AS b
+  FROM orders WHERE o_custkey <> o_orderkey % 1500
+)
+SELECT COUNT(*) AS n_triangles
+FROM e e1
+JOIN e e2 ON e1.b = e2.a
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+QUERIES["graph_triangles"] = q_graph_triangles
+ORACLE_SQL["graph_triangles"] = SQL_GRAPH_TRIANGLES

@@ -456,3 +456,25 @@ def test_profile_columns_native_minmax_and_nulls(ray_session):
         "col_name": "s", "n_rows": 5, "n_nulls": 1, "min_str": "a",
         "max_str": "zz", "n_distinct": 3,
     }
+
+
+def test_triangle_count_normalizes_and_counts_once(ray_session):
+    """G3: K4 plus a pendant edge has exactly 4 triangles; duplicate,
+    reversed and self-loop edges must not change the count."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray import ops
+
+    E = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+         (2, 1), (3, 1), (1, 2), (5, 5)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in E], pa.int64()),
+                "dst": pa.array([b for _, b in E], pa.int64()),
+            }
+        )
+    ).repartition(4)
+    out = ops.triangle_count(ds).to_pandas()
+    assert out["n_triangles"].tolist() == [4]
