@@ -4688,3 +4688,104 @@ JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
 
 QUERIES["graph_triangles"] = q_graph_triangles
 ORACLE_SQL["graph_triangles"] = SQL_GRAPH_TRIANGLES
+
+
+def q_events_winsorized(sf_dir: str):
+    """X49: per-group winsorized (P10/P90-clipped) mean — the robust
+    aggregate used to keep outliers from dominating quality scores.
+    ONE combiner groupby bounds the shuffle to distinct (type, cents)
+    pairs; both clip bounds come from a single cumulative walk per
+    group over that table (QUANTILE_DISC convention, rank ceil(q*n));
+    the tiny (group, lo, hi) table broadcasts into a map-side clip and
+    a second combiner groupby sums exact clipped cents. One final
+    float64 division per group — bit-identical to SQL."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": b["event_type"], "c": ops.cents(b["value"])}
+        )
+
+    prepped = ds.map_batches(
+        prep, batch_size=None, batch_format="pyarrow"
+    ).materialize()  # feeds the quantile plan AND the clip pass
+
+    counts = ops.grouped_sum_count(
+        prepped, keys=["event_type", "c"], sums=[], count_alias="_n"
+    )
+
+    def bounds(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g["c"].to_numpy()
+        cnts = g["_n"].to_numpy()
+        order = np.argsort(vals, kind="mergesort")
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        pick = lambda q: vals[
+            np.searchsorted(cum, max(int(np.ceil(q * n)), 1))
+        ]
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "lo": [pick(0.1)],
+                "hi": [pick(0.9)],
+            }
+        )
+
+    bt = (
+        counts.groupby("event_type")
+        .map_groups(bounds, batch_format="pandas")
+        .to_pandas()
+    )  # bounded: one row per group
+    lo = dict(zip(bt.event_type, bt.lo))
+    hi = dict(zip(bt.event_type, bt.hi))
+
+    def clip(b: pa.Table) -> pa.Table:
+        t = b["event_type"].to_pylist()
+        c = b["c"].to_numpy(zero_copy_only=False)
+        l = np.array([lo[x] for x in t], dtype=np.int64)
+        h = np.array([hi[x] for x in t], dtype=np.int64)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "w": np.minimum(np.maximum(c, l), h),
+            }
+        )
+
+    agg = ops.grouped_sum_count(
+        prepped.map_batches(clip, batch_size=None, batch_format="pyarrow"),
+        keys=["event_type"],
+        sums=[("w", "sum_winsorized_cents")],
+        count_alias="n",
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        s = b["sum_winsorized_cents"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "winsorized_mean_cents", pa.array(s.astype(np.float64) / n)
+        )
+
+    return agg.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+SQL_EVENTS_WINSORIZED = """
+WITH b AS (SELECT event_type,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+           FROM events),
+q AS (SELECT event_type, QUANTILE_DISC(c, 0.1) AS lo,
+             QUANTILE_DISC(c, 0.9) AS hi
+      FROM b GROUP BY event_type)
+SELECT b.event_type, COUNT(*) AS n,
+       CAST(SUM(LEAST(GREATEST(b.c, q.lo), q.hi)) AS BIGINT)
+         AS sum_winsorized_cents,
+       CAST(SUM(LEAST(GREATEST(b.c, q.lo), q.hi)) AS BIGINT)
+         / COUNT(*) AS winsorized_mean_cents
+FROM b JOIN q USING (event_type) GROUP BY b.event_type
+"""
+
+QUERIES["events_winsorized"] = q_events_winsorized
+ORACLE_SQL["events_winsorized"] = SQL_EVENTS_WINSORIZED
