@@ -1030,3 +1030,146 @@ def ngram_jaccard_topk(
         ),
         sort_by=[("jaccard", "descending"), ("a", "ascending"), ("b", "ascending")],
     )
+
+
+def jaccard_prefix_join(
+    ds: Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 4,
+    theta_num: int = 6,
+    theta_den: int = 10,
+) -> Dataset:
+    """X50: EXACT set-similarity self-join by prefix filtering (the
+    PPJoin family) — every pair of docs whose word-k-gram Jaccard
+    >= theta_num/theta_den, with NO sketch and no probabilistic
+    recall: under a global rarest-first gram ordering, two qualifying
+    sets must share a gram inside their first
+    p = n - ceil(theta*n) + 1 grams, so joining ONLY on prefix grams
+    is lossless while touching a tiny fraction of the inverted index
+    (the rarest grams have the shortest postings). The exact-Jaccard
+    check is the same rational-integer comparison on both sides
+    (den*inter >= num*union) — no float threshold.
+
+    Plan: gram explode (shared `_gram_batch` kernel) -> distinct
+    (doc, gram) materialized once (feeds ranking AND verify sizes) ->
+    global gram frequencies via combiner groupby -> ONE hash join
+    attaches frequencies -> per-doc prefix via groupby.map_groups
+    (groups are single docs; bounded) -> prefix self-join on gram ->
+    distinct (a < b) candidates -> texts attach via the size-gated
+    `join_pair_payload` and the integer check runs in map_batches.
+    Returns (a, b, inter, uni) — all int64, fully SQL-exact. The
+    brute-force oracle validates the losslessness claim itself."""
+    from ..queries import _gram_batch  # lazy: queries imports extras lazily
+
+    import pandas as pd
+
+    n_docs = ds.count()  # metadata-cheap on a raw read
+    grams = ds.map_batches(
+        lambda b: _gram_batch(b, k=k), batch_size=None, batch_format="pyarrow"
+    )
+    dg = ops.distinct(grams, ["doc_id", "gram"]).materialize()
+    gf = ops.grouped_sum_count(dg, keys=["gram"], sums=[], count_alias="gfreq")
+    ranked = ops.normalize_blocks(
+        ops.hash_join(
+            dg,
+            ops.drop_empty_blocks(gf).map_batches(
+                lambda b: pa.table({"jg": b["gram"], "gfreq": b["gfreq"]}),
+                batch_size=None,
+                batch_format="pyarrow",
+            ),
+            on=("gram",),
+            right_on=("jg",),
+        ),
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("gram", pa.string()),
+                ("gfreq", pa.int64()),
+            ]
+        ),
+    )
+
+    def prefix(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        need = -(-theta_num * n // theta_den)  # ceil(theta*n)
+        p = n - need + 1
+        g = g.sort_values(["gfreq", "gram"], kind="mergesort").head(p)
+        return pd.DataFrame({"gram": g["gram"], "doc_id": g["doc_id"]})
+
+    pre = ops.drop_empty_blocks(
+        ranked.groupby("doc_id").map_groups(prefix, batch_format="pandas")
+    ).materialize()  # both sides of the candidate self-join
+
+    cand = ops.distinct(
+        ops.normalize_blocks(
+            ops.hash_join(
+                pre.map_batches(
+                    lambda b: pa.table({"gram": b["gram"], "a": b["doc_id"]}),
+                    batch_size=None,
+                    batch_format="pyarrow",
+                ),
+                ops.drop_empty_blocks(
+                    pre.map_batches(
+                        lambda b: pa.table(
+                            {"jg": b["gram"], "b": b["doc_id"]}
+                        ),
+                        batch_size=None,
+                        batch_format="pyarrow",
+                    )
+                ),
+                on=("gram",),
+                right_on=("jg",),
+            ),
+            pa.schema(
+                [("gram", pa.string()), ("a", pa.int64()), ("b", pa.int64())]
+            ),
+        )
+        .map_batches(
+            lambda t: t.filter(pc.less(t["a"], t["b"])).select(["a", "b"]),
+            batch_size=None,
+            batch_format="pyarrow",
+        ),
+        ["a", "b"],
+    )
+
+    withtext = join_pair_payload(cand, ds, id_col, text_col, payload_rows=n_docs)
+
+    def gram_set(text: str) -> set:
+        toks = (text or "").split(" ")
+        return {
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        }
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a_ids = batch["a"].to_pylist()
+        b_ids = batch["b"].to_pylist()
+        ta = batch[f"{text_col}_a"].to_pylist()
+        tb = batch[f"{text_col}_b"].to_pylist()
+        cache: dict[int, set] = {}
+        a_c, b_c, i_c, u_c = [], [], [], []
+        for i in range(len(a_ids)):
+            sa = cache.get(a_ids[i])
+            if sa is None:
+                sa = cache[a_ids[i]] = gram_set(ta[i])
+            sb = cache.get(b_ids[i])
+            if sb is None:
+                sb = cache[b_ids[i]] = gram_set(tb[i])
+            inter = len(sa & sb)
+            uni = len(sa) + len(sb) - inter
+            if theta_den * inter >= theta_num * uni and uni > 0:
+                a_c.append(a_ids[i])
+                b_c.append(b_ids[i])
+                i_c.append(inter)
+                u_c.append(uni)
+        return pa.table(
+            {
+                "a": pa.array(a_c, pa.int64()),
+                "b": pa.array(b_c, pa.int64()),
+                "inter": pa.array(i_c, pa.int64()),
+                "uni": pa.array(u_c, pa.int64()),
+            }
+        )
+
+    return withtext.map_batches(verify, batch_format="pyarrow")

@@ -4789,3 +4789,38 @@ FROM b JOIN q USING (event_type) GROUP BY b.event_type
 
 QUERIES["events_winsorized"] = q_events_winsorized
 ORACLE_SQL["events_winsorized"] = SQL_EVENTS_WINSORIZED
+
+
+def q_jaccard_prefix_pairs(sf_dir: str):
+    """X50: exact prefix-filtered set-similarity self-join (PPJoin
+    family) — every doc pair with word-4-gram Jaccard >= 0.6. The
+    brute-force SQL oracle independently validates the prefix
+    filter's losslessness claim. (Runs under the DEFAULT shuffle
+    strategy: this plan is join/map_groups-shaped, not
+    banding-shaped, and the hash-shuffle context deadlocked its
+    map_groups at low CPU counts — measured, not assumed.)"""
+    from .extras import dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.jaccard_prefix_join(
+        ds, "text", "doc_id", k=4, theta_num=6, theta_den=10
+    )
+
+
+SQL_JACCARD_PREFIX = """
+WITH g AS (
+  SELECT DISTINCT doc_id, ARRAY_TO_STRING(toks[i:i+3], ' ') AS gram
+  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+       UNNEST(RANGE(1, LEN(toks) - 2)) u(i)
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+ix AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+       FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+       GROUP BY 1, 2)
+SELECT a, b, inter, sa.n + sb.n - inter AS uni
+FROM ix JOIN sz sa ON ix.a = sa.doc_id JOIN sz sb ON ix.b = sb.doc_id
+WHERE 10 * inter >= 6 * (sa.n + sb.n - inter)
+"""
+
+QUERIES["jaccard_prefix_pairs"] = q_jaccard_prefix_pairs
+ORACLE_SQL["jaccard_prefix_pairs"] = SQL_JACCARD_PREFIX
