@@ -4824,3 +4824,42 @@ WHERE 10 * inter >= 6 * (sa.n + sb.n - inter)
 
 QUERIES["jaccard_prefix_pairs"] = q_jaccard_prefix_pairs
 ORACLE_SQL["jaccard_prefix_pairs"] = SQL_JACCARD_PREFIX
+
+
+def q_event_transitions(sf_dir: str):
+    """X51: event-type transition matrix (first-order Markov counts)
+    — per user, consecutive event pairs in (ts, event_id) order,
+    counted over the corpus. One key shuffle via `ops.group_lag`
+    (vectorized per-key sort+shift), then a combiner groupby over the
+    bounded (prev, next) domain."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    lagged = ops.group_lag(
+        ds, "user_id", ["ts", "event_id"], {"event_type": "prev_type"}
+    )
+
+    def pairs(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["prev_type"]))
+        return pa.table(
+            {"prev_type": t["prev_type"], "next_type": t["event_type"]}
+        )
+
+    return ops.grouped_sum_count(
+        lagged.map_batches(pairs, batch_size=None, batch_format="pyarrow"),
+        keys=["prev_type", "next_type"],
+        sums=[],
+        count_alias="n",
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+FROM (SELECT event_type,
+             LAG(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events)
+WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+QUERIES["event_transitions"] = q_event_transitions
+ORACLE_SQL["event_transitions"] = SQL_EVENT_TRANSITIONS
