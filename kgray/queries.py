@@ -4863,3 +4863,95 @@ GROUP BY 1, 2
 
 QUERIES["event_transitions"] = q_event_transitions
 ORACLE_SQL["event_transitions"] = SQL_EVENT_TRANSITIONS
+
+
+def q_events_corr(sf_dir: str):
+    """A17: grouped Pearson correlation (value cents x hour-of-day)
+    from EXACT int64 moment partials (n, Σx, Σy, Σxy, Σx², Σy²)
+    merged associatively through the combiner — bit-identical on any
+    block layout; the only float ops are the final
+    num / (sqrt(d1)·sqrt(d2)) in the same order as the SQL (NULL for
+    zero variance). Int64 bound: n·Σx² < 2^63 (same contract as the
+    variance UDAF A12)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = ops.cents(b["value"]).to_numpy(zero_copy_only=False)
+        y = pc.cast(pc.hour(b["ts"]), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "x": x,
+                "y": y,
+                "xy": x * y,
+                "xx": x * x,
+                "yy": y * y,
+            }
+        )
+
+    m = ops.grouped_sum_count(
+        ds.map_batches(prep, batch_size=None, batch_format="pyarrow"),
+        keys=["event_type"],
+        sums=[
+            ("x", "sx"),
+            ("y", "sy"),
+            ("xy", "sxy"),
+            ("xx", "sxx"),
+            ("yy", "syy"),
+        ],
+        count_alias="n",
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        sx = b["sx"].to_numpy(zero_copy_only=False)
+        sy = b["sy"].to_numpy(zero_copy_only=False)
+        sxy = b["sxy"].to_numpy(zero_copy_only=False)
+        sxx = b["sxx"].to_numpy(zero_copy_only=False)
+        syy = b["syy"].to_numpy(zero_copy_only=False)
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = num.astype(np.float64) / (
+                np.sqrt(d1.astype(np.float64)) * np.sqrt(d2.astype(np.float64))
+            )
+        mask = (d1 == 0) | (d2 == 0)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "n": b["n"],
+                "corr_xy": pa.array(
+                    np.where(mask, 0.0, corr), pa.float64(), mask=mask
+                ),
+            }
+        )
+
+    return m.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+SQL_EVENTS_CORR = """
+WITH b AS (SELECT event_type,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x,
+                  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y
+           FROM events),
+m AS (SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM b GROUP BY event_type)
+SELECT event_type, n,
+       CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+            THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * SQRT(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS corr_xy
+FROM m
+"""
+
+QUERIES["events_corr"] = q_events_corr
+ORACLE_SQL["events_corr"] = SQL_EVENTS_CORR
