@@ -4955,3 +4955,64 @@ FROM m
 
 QUERIES["events_corr"] = q_events_corr
 ORACLE_SQL["events_corr"] = SQL_EVENTS_CORR
+
+
+EMB_GRID = 1 << 20  # same exact int-grid trick as the k-means family
+
+
+def q_label_centroids(sf_dir: str):
+    """X52: per-label embedding centroid sums — the vector-column
+    groupby (mean-pooled class centroids). Embeddings quantize ONCE to
+    the int64 grid round(x * 2^20) so per-(label, dim) sums are EXACT
+    integers — bit-identical across block layouts and in SQL (the
+    float mean is one division away). Per batch: one (n, d) reshape +
+    d bincounts over the label codes (d is a constant 64); the
+    combiner groupby sums (label, dim) partials — shuffle is
+    O(labels * d), never the vectors."""
+    import numpy as np
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lab = b["label"].combine_chunks().to_numpy().astype(np.int64)
+        arr = b["embedding"].combine_chunks()
+        emb = (
+            arr.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(arr), -1)
+        )
+        q = np.floor(emb * EMB_GRID + 0.5).astype(np.int64)
+        ulab, codes = np.unique(lab, return_inverse=True)
+        k, d = len(ulab), q.shape[1]
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, codes, q)
+        cnt = np.bincount(codes, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "label": np.repeat(ulab, d),
+                "dim": np.tile(np.arange(d, dtype=np.int64), k),
+                "sum_q": sums.reshape(-1),
+                "n_vecs": np.repeat(cnt, d),
+            }
+        )
+
+    return ops.grouped_sum_count(
+        ds.map_batches(partial, batch_size=None, batch_format="pyarrow"),
+        keys=["label", "dim"],
+        sums=[("sum_q", "sum_q"), ("n_vecs", "n_vecs")],
+        count_alias="_nb",
+    ).drop_columns(["_nb"])
+
+
+SQL_LABEL_CENTROIDS = """
+SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim,
+       CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS sum_q,
+       COUNT(*) AS n_vecs
+FROM embeddings, RANGE(1, 65) r(i)
+GROUP BY 1, 2
+"""
+
+QUERIES["label_centroids"] = q_label_centroids
+ORACLE_SQL["label_centroids"] = SQL_LABEL_CENTROIDS
