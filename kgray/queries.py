@@ -5016,3 +5016,61 @@ GROUP BY 1, 2
 
 QUERIES["label_centroids"] = q_label_centroids
 ORACLE_SQL["label_centroids"] = SQL_LABEL_CENTROIDS
+
+
+def q_quantity_rank_ties(sf_dir: str):
+    """O7: per-group top-k with TIES (RANK semantics, vs O2/X16's
+    ROW_NUMBER) — and the scale insight that RANK over a value
+    depends only on the VALUE HISTOGRAM: a combiner groupby bounds
+    the shuffle to distinct (flag, quantity) pairs, and rank =
+    1 + cumulative count of greater values is a per-group cumsum over
+    that tiny table. No row ever shuffles; ties collapse to (value,
+    rank, n)."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_quantity": ops.cents(b["l_quantity"], scale=1.0),
+            }
+        )
+
+    counts = ops.grouped_sum_count(
+        ds.map_batches(prep, batch_size=None, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_quantity"],
+        sums=[],
+        count_alias="n",
+    )
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("l_quantity", ascending=False, ignore_index=True)
+        cum = g["n"].cumsum().shift(1, fill_value=0)
+        g["rnk"] = cum.astype(np.int64) + 1  # RANK: gaps after ties
+        g["dense_rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[g["dense_rnk"] <= 3]
+
+    return counts.groupby("l_returnflag").map_groups(
+        rank, batch_format="pandas"
+    )
+
+
+SQL_QUANTITY_RANK_TIES = """
+SELECT l_returnflag, l_quantity, COUNT(*) AS n, rnk, dense_rnk FROM (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS l_quantity,
+         RANK() OVER (PARTITION BY l_returnflag
+                      ORDER BY CAST(FLOOR(l_quantity + 0.5) AS BIGINT) DESC)
+           AS rnk,
+         DENSE_RANK() OVER (PARTITION BY l_returnflag
+                      ORDER BY CAST(FLOOR(l_quantity + 0.5) AS BIGINT) DESC)
+           AS dense_rnk
+  FROM lineitem)
+WHERE dense_rnk <= 3 GROUP BY 1, 2, 4, 5
+"""
+
+QUERIES["quantity_rank_ties"] = q_quantity_rank_ties
+ORACLE_SQL["quantity_rank_ties"] = SQL_QUANTITY_RANK_TIES
