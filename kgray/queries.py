@@ -5074,3 +5074,68 @@ WHERE dense_rnk <= 3 GROUP BY 1, 2, 4, 5
 
 QUERIES["quantity_rank_ties"] = q_quantity_rank_ties
 ORACLE_SQL["quantity_rank_ties"] = SQL_QUANTITY_RANK_TIES
+
+
+def q_events_group_sample(sf_dir: str):
+    """O8: per-group deterministic fixed-K sample — the K rows with
+    the smallest splitmix64(event_id XOR seed) per event_type (the
+    class-balanced subsampling primitive; same rows on any cluster
+    size / layout, resumable). Scale plan: a per-block PER-GROUP
+    top-K combiner prunes before the shuffle (pandas groupby.head on
+    the hash-sorted block), so the group shuffle sees O(blocks*K)
+    rows per group; the final per-group head runs on that residue.
+    Output rows collapse ties deterministically via (hash, event_id)
+    ordering."""
+    import numpy as np
+    import pandas as pd
+
+    K, SEED = 10, 42
+    ds = _read(sf_dir, "events", ["event_type", "event_id"])
+
+    def hashed(b: pa.Table) -> pa.Table:
+        k = (
+            b["event_id"].combine_chunks().to_numpy().astype(np.int64)
+            .view(np.uint64)
+        )
+        h = ops._mix64(k ^ np.uint64(SEED))
+        # signed view keeps parquet/pandas types simple; ORDER is
+        # preserved only on the unsigned value, so sort on the
+        # shifted int64 (h - 2^63) which is order-isomorphic
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "event_id": b["event_id"],
+                "hs": (h ^ np.uint64(1 << 63)).view(np.int64),
+            }
+        )
+
+    def block_prune(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["hs", "event_id"], kind="mergesort")
+            .groupby("event_type", sort=False)
+            .head(K)
+        )
+
+    pruned = ds.map_batches(
+        hashed, batch_size=None, batch_format="pyarrow"
+    ).map_batches(block_prune, batch_size=None, batch_format="pandas")
+    top = ops.group_topk(
+        pruned, "event_type", ["hs", "event_id"], K, ascending=[True, True]
+    )
+    return top.select_columns(["event_type", "event_id"])
+
+
+SQL_EVENTS_GROUP_SAMPLE = """
+SELECT event_type, event_id FROM (
+  SELECT event_type, event_id,
+         ROW_NUMBER() OVER (
+             PARTITION BY event_type
+             ORDER BY h, event_id) AS rn
+  FROM ({H})
+) WHERE rn <= 10
+""".format(
+    H=ops.splitmix64_sql("events", "event_id", ["event_type", "event_id"])
+)
+
+QUERIES["events_group_sample"] = q_events_group_sample
+ORACLE_SQL["events_group_sample"] = SQL_EVENTS_GROUP_SAMPLE

@@ -78,6 +78,11 @@ def read_table(
         # idiomatic way raw image/audio/video blobs enter a pipeline;
         # columns does not apply (the row IS the payload + provenance)
         return rd.read_binary_files(path, include_paths=True, **kwargs)
+    if format == "text":
+        # one row per line ("text" column) — raw-corpus ingest for
+        # line-delimited dumps that aren't even JSONL yet
+        ds = rd.read_text(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
     if format == "csv":
         ds = rd.read_csv(path, **kwargs)
     elif format in ("json", "jsonl"):

@@ -478,3 +478,18 @@ def test_triangle_count_normalizes_and_counts_once(ray_session):
     ).repartition(4)
     out = ops.triangle_count(ds).to_pandas()
     assert out["n_triangles"].tolist() == [4]
+
+
+def test_text_source_roundtrip(ray_session, tmp_path):
+    """S9: line-delimited text ingest — one row per line, lines
+    preserved in file order per file."""
+    from kgray import sources
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    lines = [f"line {i} tok{i % 3}" for i in range(50)]
+    (p / "a.txt").write_text("\n".join(lines[:30]) + "\n")
+    (p / "b.txt").write_text("\n".join(lines[30:]) + "\n")
+    ds = sources.read_table(str(p), format="text")
+    got = sorted(r["text"] for r in ds.take_all())
+    assert got == sorted(lines)
