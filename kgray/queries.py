@@ -770,7 +770,7 @@ FROM documents
 # to replace) over DISTINCT lowercase [a-z]+ tokens. The CJK charset
 # branch is unreachable on the ASCII testdata (verified) and is
 # intentionally not mirrored in SQL.
-def _langid_sql() -> str:
+def _langid_sql(table: str = "documents") -> str:
     profiles = {
         "en": ("the", "and", "of", "to", "a", "in", "is", "that", "for", "with"),
         "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"),
@@ -785,7 +785,7 @@ def _langid_sql() -> str:
 WITH tok AS (
   SELECT doc_id,
          LIST_DISTINCT(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS toks
-  FROM documents
+  FROM {table}
 ), cnt AS (
   SELECT doc_id,
     {counts}
@@ -5139,3 +5139,124 @@ SELECT event_type, event_id FROM (
 
 QUERIES["events_group_sample"] = q_events_group_sample
 ORACLE_SQL["events_group_sample"] = SQL_EVENTS_GROUP_SAMPLE
+
+
+def q_curation_pipeline(sf_dir: str):
+    """X53: the end-to-end TRAINING-DATA CURATION chain as ONE
+    pipeline — the composition story the individual operators exist
+    for: train-split hash filter (map-side) -> language gate
+    (lang_pred == 'en') -> quality gate (n_words >= 40) -> exact
+    dedup (keep min doc_id per text) -> test-set decontamination
+    (drop docs sharing a DECON_K-gram with the test split) -> per-
+    source accounting. Every stage reuses the exact oracled kernel of
+    its standalone query (_detect, the RE2-matched token count,
+    _gram_batch, splitmix64 split), so the composed SQL oracle is the
+    same CTEs chained. Shuffles: exact-dedup groupby, decon semi join
+    (size-gated), final combiner groupby — everything else map-side."""
+    from .extras.textstats import _detect, _TOKEN
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    sd = np.uint64(SPLIT_SEED)
+    t1, t2 = np.uint64(SPLIT_TRAIN_END), np.uint64(SPLIT_VAL_END)
+
+    def gates(b: pa.Table) -> pa.Table:
+        k = (
+            b["doc_id"].combine_chunks().to_numpy().astype(np.int64)
+            .view(np.uint64)
+        )
+        keep = ops._mix64(k ^ sd) < t1
+        t = b.filter(pa.array(keep))
+        texts = t["text"].to_pylist()
+        ok = np.empty(len(texts), dtype=bool)
+        nw = np.empty(len(texts), dtype=np.int64)
+        for i, x in enumerate(texts):
+            x = x or ""
+            nw[i] = len(_TOKEN.findall(x))
+            ok[i] = nw[i] >= 40 and _detect(x) == "en"
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": t["text"],
+                "source": t["source"],
+                "n_words": pa.array(nw),
+            }
+        ).filter(pa.array(ok))
+
+    survivors = ds.map_batches(
+        gates, batch_size=None, batch_format="pyarrow"
+    ).materialize()  # feeds dedup keep-ids AND the semi-join left side
+
+    from .extras import dedup as _dedup
+
+    keep_ids = _dedup.exact_dedup(survivors, "text", "doc_id").select_columns(
+        ["keep_id"]
+    )
+    deduped = ops.semi_join(survivors, "doc_id", keep_ids, "keep_id").materialize()
+
+    test_grams = ds.map_batches(
+        lambda b: _gram_batch(
+            b,
+            ops._mix64(
+                b["doc_id"].combine_chunks().to_numpy().astype(np.int64)
+                .view(np.uint64)
+                ^ sd
+            )
+            >= t2,
+        ),
+        batch_size=None,
+        batch_format="pyarrow",
+    ).select_columns(["gram"])
+    kept_grams = deduped.map_batches(
+        lambda b: _gram_batch(b), batch_size=None, batch_format="pyarrow"
+    )
+    bad = ops.distinct(
+        ops.semi_join(kept_grams, "gram", test_grams, "gram").select_columns(
+            ["doc_id"]
+        ),
+        ["doc_id"],
+    )
+    clean = ops.anti_join(deduped, "doc_id", bad, "doc_id")
+    return ops.grouped_sum_count(
+        clean.select_columns(["source", "n_words"]),
+        keys=["source"],
+        sums=[("n_words", "total_words")],
+        count_alias="n_docs",
+    )
+
+
+SQL_CURATION_PIPELINE = """
+WITH s AS ({hash_cte}),
+tr AS (SELECT doc_id, text, source FROM s WHERE h < {t1}::UBIGINT),
+lp AS ({langid}),
+q AS (SELECT tr.*,
+             LEN(REGEXP_EXTRACT_ALL(tr.text, '[^ \\t\\n\\r\\f]+')) AS n_words
+      FROM tr JOIN lp USING (doc_id)
+      WHERE lp.lang_pred = 'en'
+        AND LEN(REGEXP_EXTRACT_ALL(tr.text, '[^ \\t\\n\\r\\f]+')) >= 40),
+d AS (SELECT * FROM q
+      WHERE doc_id IN (SELECT MIN(doc_id) FROM q GROUP BY text)),
+te AS (SELECT text FROM s WHERE h >= {t2}::UBIGINT),
+gt AS (SELECT doc_id, ARRAY_TO_STRING(toks[i:i+{km1}], ' ') AS gram
+       FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM d),
+            UNNEST(RANGE(1, LEN(toks) - {km2})) u(i)),
+gq AS (SELECT DISTINCT ARRAY_TO_STRING(toks[i:i+{km1}], ' ') AS gram
+       FROM (SELECT STRING_SPLIT(text, ' ') AS toks FROM te),
+            UNNEST(RANGE(1, LEN(toks) - {km2})) u(i)),
+bad AS (SELECT DISTINCT gt.doc_id FROM gt JOIN gq USING (gram))
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words
+FROM d WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+GROUP BY source
+""".format(
+    hash_cte=ops.splitmix64_sql(
+        "documents", "doc_id", ["doc_id", "text", "source"], seed=SPLIT_SEED
+    ),
+    langid=_langid_sql("tr"),
+    t1=SPLIT_TRAIN_END,
+    t2=SPLIT_VAL_END,
+    km1=DECON_K - 1,
+    km2=DECON_K - 2,
+)
+
+QUERIES["curation_pipeline"] = q_curation_pipeline
+ORACLE_SQL["curation_pipeline"] = SQL_CURATION_PIPELINE
