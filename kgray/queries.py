@@ -5260,3 +5260,213 @@ GROUP BY source
 
 QUERIES["curation_pipeline"] = q_curation_pipeline
 ORACLE_SQL["curation_pipeline"] = SQL_CURATION_PIPELINE
+
+
+def q_events_mad(sf_dir: str):
+    """X54: per-group median absolute deviation — the robust scale
+    estimator completing the robust-stats family (X49 winsorized
+    mean, X20 median). BOTH medians stay EXACT INTEGERS by working in
+    doubled units: med2 = 2*median(cents) is the sum of the two
+    middle values (integer even for even counts), mad4 =
+    2*median(|2c - med2|). Two combiner-bounded value-count passes +
+    per-group cumulative walks — group row counts unbounded, shuffle
+    O(distinct values); the tiny per-group med2 table broadcasts into
+    the deviation map. No floats anywhere; the SQL MEDIAN() doubles
+    the same way."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": b["event_type"], "c": ops.cents(b["value"])}
+        )
+
+    prepped = ds.map_batches(
+        prep, batch_size=None, batch_format="pyarrow"
+    ).materialize()  # feeds both median passes
+
+    def walk_med2(g: pd.DataFrame, col: str, out: str) -> pd.DataFrame:
+        vals = g[col].to_numpy()
+        cnts = g["_n"].to_numpy()
+        order = np.argsort(vals, kind="mergesort")
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        r1, r2 = (n - 1) // 2, n // 2  # 0-based middle ranks
+        v1 = vals[np.searchsorted(cum, r1 + 1)]
+        v2 = vals[np.searchsorted(cum, r2 + 1)]
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]], out: [int(v1 + v2)]}
+        )
+
+    c1 = ops.grouped_sum_count(
+        prepped, keys=["event_type", "c"], sums=[], count_alias="_n"
+    )
+    med = (
+        c1.groupby("event_type")
+        .map_groups(lambda g: walk_med2(g, "c", "med2"), batch_format="pandas")
+        .to_pandas()
+    )
+    m2 = dict(zip(med.event_type, med.med2))
+
+    def dev(b: pa.Table) -> pa.Table:
+        t = b["event_type"].to_pylist()
+        c = b["c"].to_numpy(zero_copy_only=False)
+        m = np.array([m2[x] for x in t], dtype=np.int64)
+        return pa.table(
+            {"event_type": b["event_type"], "d2": np.abs(2 * c - m)}
+        )
+
+    c2 = ops.grouped_sum_count(
+        prepped.map_batches(dev, batch_size=None, batch_format="pyarrow"),
+        keys=["event_type", "d2"],
+        sums=[],
+        count_alias="_n",
+    )
+    mad = c2.groupby("event_type").map_groups(
+        lambda g: walk_med2(g, "d2", "mad4"), batch_format="pandas"
+    )
+
+    def attach(b: pa.Table) -> pa.Table:
+        t = b["event_type"].to_pylist()
+        return b.append_column(
+            "med2", pa.array([m2[x] for x in t], pa.int64())
+        ).select(["event_type", "med2", "mad4"])
+
+    return mad.map_batches(attach, batch_size=None, batch_format="pyarrow")
+
+
+SQL_EVENTS_MAD = """
+WITH b AS (SELECT event_type,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+           FROM events),
+m AS (SELECT event_type, CAST(MEDIAN(2 * c) AS BIGINT) AS med2
+      FROM b GROUP BY 1)
+SELECT b.event_type, MIN(m.med2) AS med2,
+       CAST(MEDIAN(2 * ABS(2 * b.c - m.med2)) AS BIGINT) AS mad4
+FROM b JOIN m USING (event_type) GROUP BY b.event_type
+"""
+
+QUERIES["events_mad"] = q_events_mad
+ORACLE_SQL["events_mad"] = SQL_EVENTS_MAD
+
+
+def q_source_char_budget(sf_dir: str):
+    """X55: proportional-cap data-mixing allocator (discrete
+    waterfilling) — given per-source corpus sizes and a global budget
+    (60% of total chars here), find the largest integer waterlevel T
+    with sum(min(size_s, T)) <= budget and allocate min(size_s, T)
+    per source: small sources keep everything, big sources are capped
+    at a common level (the standard LLM data-mixing cap). Sizes come
+    from ONE combiner groupby; the waterlevel walk is O(#sources) on
+    the driver. All arithmetic is integer floor division — the SQL
+    oracle computes the identical level via a window cumsum and the
+    same MAX-over-qualifying-candidates identity (cand_j =
+    (B - prefix_j) // (k - j + 1), qualifying iff cand_j < size_j;
+    fallback = max size when the budget covers everything)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    sizes = ops.collect_table(
+        ops.grouped_sum_count(
+            ds, keys=["source"], sums=[("n_chars", "tok")], count_alias="_n"
+        ).drop_columns(["_n"]),
+        pa.schema([("source", pa.string()), ("tok", pa.int64())]),
+    )
+    src = sizes["source"].to_pylist()
+    tok = sizes["tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = sorted(range(len(src)), key=lambda i: (int(tok[i]), src[i]))
+    k = len(order)
+    total = int(tok.sum())
+    B = total * 6 // 10
+    pfx, lvl, best = 0, None, None
+    for j, i in enumerate(order, start=1):
+        cand = (B - pfx) // (k - j + 1)
+        if cand < int(tok[i]):
+            best = cand if best is None else max(best, cand)
+        pfx += int(tok[i])
+    lvl = best if best is not None else int(tok.max())
+    return pa.table(
+        {
+            "source": sizes["source"],
+            "tok_chars": sizes["tok"],
+            "alloc_chars": pa.array(
+                np.minimum(tok, np.int64(lvl)), pa.int64()
+            ),
+        }
+    )
+
+
+SQL_SOURCE_CHAR_BUDGET = """
+WITH s AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tok
+           FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(tok) AS BIGINT) AS total, COUNT(*) AS k FROM s),
+o AS (SELECT source, tok,
+        ROW_NUMBER() OVER (ORDER BY tok, source) AS j,
+        CAST(COALESCE(SUM(tok) OVER (
+            ORDER BY tok, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS pfx
+      FROM s),
+c AS (SELECT o.*,
+        ((SELECT total FROM tot) * 6 // 10 - pfx)
+          // ((SELECT k FROM tot) - j + 1) AS cand
+      FROM o),
+t AS (SELECT COALESCE(MAX(cand) FILTER (WHERE cand < tok),
+                      (SELECT MAX(tok) FROM s)) AS lvl
+      FROM c)
+SELECT source, tok AS tok_chars,
+       LEAST(tok, (SELECT lvl FROM t)) AS alloc_chars
+FROM s
+"""
+
+QUERIES["source_char_budget"] = q_source_char_budget
+ORACLE_SQL["source_char_budget"] = SQL_SOURCE_CHAR_BUDGET
+
+
+def q_kanon_exposure(sf_dir: str):
+    """X56: k-anonymity exposure audit (k=5) over the
+    quasi-identifier (event_type, isodow, hour) — the data-governance
+    pass a release pipeline runs before publishing: cells whose row
+    count is below k are re-identifiable. One combiner groupby over
+    the bounded cell domain, a map-side filter, and a second combiner
+    rollup per event_type (small-group count + exposed-row sum)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "dw": pc.cast(pc.add(pc.day_of_week(b["ts"]), 1), pa.int64()),
+                "hr": pc.cast(pc.hour(b["ts"]), pa.int64()),
+            }
+        )
+
+    cells = ops.grouped_sum_count(
+        ds.map_batches(prep, batch_size=None, batch_format="pyarrow"),
+        keys=["event_type", "dw", "hr"],
+        sums=[],
+        count_alias="n",
+    ).filter(expr="n < 5")
+    return ops.grouped_sum_count(
+        cells.select_columns(["event_type", "n"]),
+        keys=["event_type"],
+        sums=[("n", "n_exposed_rows")],
+        count_alias="n_small_groups",
+    )
+
+
+SQL_KANON_EXPOSURE = """
+WITH g AS (SELECT event_type, CAST(ISODOW(ts) AS BIGINT) AS dw,
+                  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+                  COUNT(*) AS n
+           FROM events GROUP BY 1, 2, 3)
+SELECT event_type, COUNT(*) AS n_small_groups,
+       CAST(SUM(n) AS BIGINT) AS n_exposed_rows
+FROM g WHERE n < 5 GROUP BY 1
+"""
+
+QUERIES["kanon_exposure"] = q_kanon_exposure
+ORACLE_SQL["kanon_exposure"] = SQL_KANON_EXPOSURE
