@@ -5470,3 +5470,142 @@ FROM g WHERE n < 5 GROUP BY 1
 
 QUERIES["kanon_exposure"] = q_kanon_exposure
 ORACLE_SQL["kanon_exposure"] = SQL_KANON_EXPOSURE
+
+
+def q_custkey_bag_except(sf_dir: str):
+    """X57: multiset EXCEPT ALL (bag difference) — completes the set-
+    op family (U4/X15 are DISTINCT semantics): each right-side
+    occurrence cancels ONE left-side occurrence. Bag difference
+    depends only on per-key multiplicities, so two combiner groupbys
+    + ONE small outer join on the distinct-key tables replace any
+    row-level work: n = max(n_left - n_right, 0), keep n > 0. Output
+    is the compact (key, n) form (equal to GROUP BY over SQL's
+    EXCEPT ALL)."""
+    import numpy as np
+
+    o = ops.grouped_sum_count(
+        _read(sf_dir, "orders", ["o_custkey"]),
+        keys=["o_custkey"],
+        sums=[],
+        count_alias="na",
+    )
+    c = ops.grouped_sum_count(
+        _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+            lambda b: pa.table({"jk": pc.cast(b["c_custkey"], pa.int64())}),
+            batch_size=None,
+            batch_format="pyarrow",
+        ),
+        keys=["jk"],
+        sums=[],
+        count_alias="nb",
+    )
+    j = ops.normalize_blocks(
+        ops.hash_join(
+            o,
+            ops.drop_empty_blocks(c),
+            on=("o_custkey",),
+            right_on=("jk",),
+            join_type="left_outer",
+        ),
+        pa.schema(
+            [("o_custkey", pa.int64()), ("na", pa.int64()), ("nb", pa.int64())]
+        ),
+    )
+
+    def diff(b: pa.Table) -> pa.Table:
+        na = b["na"].to_numpy(zero_copy_only=False)
+        nb = pc.fill_null(b["nb"], 0).to_numpy(zero_copy_only=False)
+        n = np.maximum(na - nb, 0)
+        t = pa.table({"o_custkey": b["o_custkey"], "n": n})
+        return t.filter(pc.greater(t["n"], 0))
+
+    return j.map_batches(diff, batch_size=None, batch_format="pyarrow")
+
+
+SQL_CUSTKEY_BAG_EXCEPT = """
+SELECT o_custkey, COUNT(*) AS n FROM (
+  SELECT o_custkey FROM orders
+  EXCEPT ALL
+  SELECT CAST(c_custkey AS BIGINT) FROM customer
+) GROUP BY o_custkey
+"""
+
+QUERIES["custkey_bag_except"] = q_custkey_bag_except
+ORACLE_SQL["custkey_bag_except"] = SQL_CUSTKEY_BAG_EXCEPT
+
+
+def q_bigram_lift_top20(sf_dir: str):
+    """X58: top-20 word bigrams by LIFT (association mining: observed
+    pair frequency over the product of positional marginals) —
+    complements the raw-frequency bigram heavy hitters. One gram
+    explode feeds ONE combiner groupby to the distinct-pair count
+    table; both positional marginals and the total derive from THAT
+    bounded table, never the corpus. Marginals broadcast as dicts
+    (documented assumption: the token vocabulary fits the driver —
+    swap for hash joins beyond that). The only float is the final
+    (n·N)/(nf·ns) in the same op order as SQL; ties break on the
+    words, so the top-20 is deterministic."""
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    grams = ds.map_batches(
+        lambda b: _gram_batch(b, k=2), batch_size=None, batch_format="pyarrow"
+    )
+    p = ops.grouped_sum_count(
+        grams.select_columns(["gram"]), keys=["gram"], sums=[], count_alias="n"
+    )
+
+    def split_pair(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b["gram"], " ")
+        return pa.table(
+            {
+                "w1": pc.list_element(parts, 0),
+                "w2": pc.list_element(parts, 1),
+                "n": b["n"],
+            }
+        )
+
+    pairs = p.map_batches(
+        split_pair, batch_size=None, batch_format="pyarrow"
+    ).materialize()  # bounded: distinct bigrams; feeds marginals + lift
+    pt = ops.collect_table(
+        pairs,
+        pa.schema([("w1", pa.string()), ("w2", pa.string()), ("n", pa.int64())]),
+    )
+    nf: dict = {}
+    ns: dict = {}
+    for w, n in zip(pt["w1"].to_pylist(), pt["n"].to_pylist()):
+        nf[w] = nf.get(w, 0) + n
+    for w, n in zip(pt["w2"].to_pylist(), pt["n"].to_pylist()):
+        ns[w] = ns.get(w, 0) + n
+    nb = int(pc.sum(pt["n"]).as_py())
+
+    def lift(b: pa.Table) -> pa.Table:
+        w1 = b["w1"].to_pylist()
+        w2 = b["w2"].to_pylist()
+        n = b["n"].to_numpy(zero_copy_only=False)
+        f = np.array([nf[x] for x in w1], dtype=np.int64)
+        s = np.array([ns[x] for x in w2], dtype=np.int64)
+        return b.append_column(
+            "lift", pa.array((n.astype(np.float64) * nb) / (f * s))
+        )
+
+    scored = pairs.map_batches(lift, batch_size=None, batch_format="pyarrow")
+    return ops.topk(scored, ["lift", "w1", "w2"], 20, descending=[True, False, False])
+
+
+SQL_BIGRAM_LIFT = """
+WITH bg AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+            FROM (SELECT STRING_SPLIT(text, ' ') AS toks FROM documents),
+                 UNNEST(RANGE(1, LEN(toks))) u(i)),
+p AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+f AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS nf FROM p GROUP BY 1),
+s AS (SELECT w2, CAST(SUM(n) AS BIGINT) AS ns FROM p GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nb FROM p)
+SELECT w1, w2, n, CAST(n AS DOUBLE) * (SELECT nb FROM tot) / (nf * ns) AS lift
+FROM p JOIN f USING (w1) JOIN s USING (w2)
+ORDER BY lift DESC, w1, w2 LIMIT 20
+"""
+
+QUERIES["bigram_lift_top20"] = q_bigram_lift_top20
+ORACLE_SQL["bigram_lift_top20"] = SQL_BIGRAM_LIFT
