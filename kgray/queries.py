@@ -5609,3 +5609,56 @@ ORDER BY lift DESC, w1, w2 LIMIT 20
 
 QUERIES["bigram_lift_top20"] = q_bigram_lift_top20
 ORACLE_SQL["bigram_lift_top20"] = SQL_BIGRAM_LIFT
+
+
+def q_quantity_percent_rank(sf_dir: str):
+    """W5: per-group PERCENT_RANK — (rank-1)/(n-1) with RANK
+    semantics, computed entirely on the value histogram like O7: a
+    combiner groupby bounds the shuffle to distinct (group, value)
+    pairs and rank = 1 + cumulative count of smaller values is a
+    per-group cumsum over that table; ties collapse to one row per
+    distinct value. The only float is the single division, identical
+    op order to SQL."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_quantity": ops.cents(b["l_quantity"], scale=1.0),
+            }
+        )
+
+    counts = ops.grouped_sum_count(
+        ds.map_batches(prep, batch_size=None, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_quantity"],
+        sums=[],
+        count_alias="n",
+    )
+
+    def pr(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("l_quantity", ignore_index=True)
+        cum = g["n"].cumsum().shift(1, fill_value=0).to_numpy()
+        total = int(g["n"].sum())
+        g["pct_rank"] = cum.astype(np.float64) / (total - 1)
+        return g
+
+    return counts.groupby("l_returnflag").map_groups(pr, batch_format="pandas")
+
+
+SQL_QUANTITY_PERCENT_RANK = """
+SELECT l_returnflag, l_quantity, COUNT(*) AS n, MIN(pr) AS pct_rank FROM (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS l_quantity,
+         PERCENT_RANK() OVER (PARTITION BY l_returnflag
+                              ORDER BY CAST(FLOOR(l_quantity + 0.5) AS BIGINT))
+           AS pr
+  FROM lineitem)
+GROUP BY 1, 2
+"""
+
+QUERIES["quantity_percent_rank"] = q_quantity_percent_rank
+ORACLE_SQL["quantity_percent_rank"] = SQL_QUANTITY_PERCENT_RANK
