@@ -493,3 +493,53 @@ def test_text_source_roundtrip(ray_session, tmp_path):
     ds = sources.read_table(str(p), format="text")
     got = sorted(r["text"] for r in ds.take_all())
     assert got == sorted(lines)
+
+
+def test_cube_from_finest_levels():
+    """A16: all four grouping sets of a 2-dim cube derive from the
+    finest table; sentinel rows sum correctly."""
+    import pyarrow as pa
+
+    from kgray import ops
+
+    fine = pa.table(
+        {
+            "a": ["x", "x", "y"],
+            "b": [1, 2, 1],
+            "n": [2, 3, 5],
+        }
+    )
+    out = ops.cube_from_finest(fine, ["a", "b"], ["n"])
+    rows = {(r["a"], r["b"]): r["n"] for r in out.to_pylist()}
+    assert rows[("x", "1")] == 2 and rows[("x", "2")] == 3
+    assert rows[("x", "ALL")] == 5 and rows[("y", "ALL")] == 5
+    assert rows[("ALL", "1")] == 7 and rows[("ALL", "2")] == 3
+    assert rows[("ALL", "ALL")] == 10
+    assert len(rows) == 8
+
+
+def test_waterfill_level_edges():
+    """X55: the MAX-over-qualifying-candidates identity handles
+    budget >= total (no cap), tiny budgets (level 0), and the
+    partially-covered middle case."""
+
+    def level(tokens, B):
+        order = sorted(range(len(tokens)), key=lambda i: tokens[i])
+        k, pfx, best = len(tokens), 0, None
+        for j, i in enumerate(order, start=1):
+            cand = (B - pfx) // (k - j + 1)
+            if cand < tokens[i]:
+                best = cand if best is None else max(best, cand)
+            pfx += tokens[i]
+        return best if best is not None else max(tokens)
+
+    assert level([1, 10], 5) == 4            # cover 1, cap 10 at 4
+    assert level([5, 5], 20) == 5            # budget >= total: no cap
+    assert level([4, 4, 4], 6) == 2          # uniform split
+    assert level([1, 2, 100], 10) == 7
+    assert level([3, 3, 3], 1) == 0          # tiny budget
+    # the chosen level is maximal: one more would exceed the budget
+    for toks, B in [([1, 10], 5), ([4, 4, 4], 6), ([1, 2, 100], 10)]:
+        T = level(toks, B)
+        assert sum(min(t, T) for t in toks) <= B
+        assert sum(min(t, T + 1) for t in toks) > B
