@@ -5662,3 +5662,109 @@ GROUP BY 1, 2
 
 QUERIES["quantity_percent_rank"] = q_quantity_percent_rank
 ORACLE_SQL["quantity_percent_rank"] = SQL_QUANTITY_PERCENT_RANK
+
+
+def q_doc_length_batches(sf_dir: str):
+    """X59: length-bucketed inference micro-batching — docs fall into
+    word-count quartile buckets (padding-efficient batching for model
+    scoring) and get a deterministic batch_id inside their bucket
+    (16 docs per micro-batch). All thresholds and bucket offsets come
+    from ONE combiner value-count table (driver walk over distinct
+    word counts, rank floor((n-1)q) — the global_quantile_disc
+    convention); the per-bucket row number rides the distributed
+    prefix-sum primitive (`ops.with_global_index` over (bucket,
+    doc_id)) minus the exact bucket start offsets — no per-bucket
+    map_groups, so a bucket never has to fit one worker."""
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        from .extras.textstats import _TOKEN as _TK
+
+        nw = pa.array(
+            [len(_TK.findall(t or "")) for t in b["text"].to_pylist()],
+            pa.int64(),
+        )
+        return pa.table({"doc_id": b["doc_id"], "nw": nw})
+
+    narrow = ds.map_batches(
+        prep, batch_size=None, batch_format="pyarrow"
+    ).materialize()  # feeds the quantile walk AND the bucketing
+
+    counts = ops.collect_table(
+        ops.grouped_sum_count(narrow, keys=["nw"], sums=[], count_alias="n"),
+        pa.schema([("nw", pa.int64()), ("n", pa.int64())]),
+    )
+    vals = counts["nw"].to_numpy(zero_copy_only=False)
+    cnt = counts["n"].to_numpy(zero_copy_only=False)
+    order = np.argsort(vals, kind="mergesort")
+    vals, cnt = vals[order], cnt[order]
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+    thr = [
+        int(vals[np.searchsorted(cum, (n - 1) * p // 4 + 1)]) for p in (1, 2, 3)
+    ]
+    # exact bucket sizes from the same table -> bucket start offsets
+    sizes = [
+        int(cum[np.searchsorted(vals, t, side="right") - 1]) if np.any(vals <= t) else 0
+        for t in thr
+    ]
+    starts = [0, sizes[0], sizes[1], sizes[2]]
+
+    t1, t2, t3 = thr
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        nw = b["nw"].to_numpy(zero_copy_only=False)
+        bkt = np.full(len(nw), 3, dtype=np.int64)
+        bkt[nw <= t3] = 2
+        bkt[nw <= t2] = 1
+        bkt[nw <= t1] = 0
+        return pa.table({"doc_id": b["doc_id"], "bucket": bkt})
+
+    bucketed = narrow.map_batches(
+        bucketize, batch_size=None, batch_format="pyarrow"
+    )
+    seq = ops.with_global_index(bucketed, ["bucket", "doc_id"])
+    st = np.array(starts, dtype=np.int64)
+
+    def batch_id(b: pa.Table) -> pa.Table:
+        bkt = b["bucket"].to_numpy(zero_copy_only=False)
+        pos = b["seq_pos"].to_numpy(zero_copy_only=False) - st[bkt]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "bucket": b["bucket"],
+                "batch_id": pos // 16,
+            }
+        )
+
+    return seq.map_batches(batch_id, batch_size=None, batch_format="pyarrow")
+
+
+SQL_DOC_LENGTH_BATCHES = """
+WITH w AS (SELECT doc_id,
+                  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^ \\t\\n\\r\\f]+'))
+                       AS BIGINT) AS nw
+           FROM documents),
+t AS (SELECT
+  (SELECT nw FROM w ORDER BY nw LIMIT 1
+   OFFSET (SELECT (COUNT(*) - 1) // 4 FROM w)) AS q1,
+  (SELECT nw FROM w ORDER BY nw LIMIT 1
+   OFFSET (SELECT (COUNT(*) - 1) * 2 // 4 FROM w)) AS q2,
+  (SELECT nw FROM w ORDER BY nw LIMIT 1
+   OFFSET (SELECT (COUNT(*) - 1) * 3 // 4 FROM w)) AS q3),
+b AS (SELECT doc_id,
+             CASE WHEN nw <= (SELECT q1 FROM t) THEN 0
+                  WHEN nw <= (SELECT q2 FROM t) THEN 1
+                  WHEN nw <= (SELECT q3 FROM t) THEN 2
+                  ELSE 3 END AS bucket
+      FROM w)
+SELECT doc_id, bucket,
+       (ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 16
+         AS batch_id
+FROM b
+"""
+
+QUERIES["doc_length_batches"] = q_doc_length_batches
+ORACLE_SQL["doc_length_batches"] = SQL_DOC_LENGTH_BATCHES
