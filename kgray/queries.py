@@ -5768,3 +5768,108 @@ FROM b
 
 QUERIES["doc_length_batches"] = q_doc_length_batches
 ORACLE_SQL["doc_length_batches"] = SQL_DOC_LENGTH_BATCHES
+
+
+def q_value_drift_deciles(sf_dir: str):
+    """X60: data-drift contingency table — the monitoring pass an ML
+    pipeline runs between corpus refreshes: global value DECILES
+    (computed once over everything) crossed with the first/second
+    half of the time range, per event type. Counts stay exact ints
+    (any drift statistic — PSI, chi-square — derives from them
+    downstream; ln/float stats are deliberately NOT computed here
+    because libm rounding is not reproducible across engines).
+    Thresholds come from ONE combiner value-count walk; the split
+    midpoint from one global min/max aggregate; then a single
+    combiner groupby of indicator sums."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "c": ops.cents(b["value"]),
+                "us": pc.cast(b["ts"], pa.int64()),
+            }
+        )
+
+    prepped = ds.map_batches(
+        prep, batch_size=None, batch_format="pyarrow"
+    ).materialize()  # quantile walk + min/max + final pass
+
+    counts = ops.collect_table(
+        ops.grouped_sum_count(
+            prepped.select_columns(["c"]), keys=["c"], sums=[], count_alias="n"
+        ),
+        pa.schema([("c", pa.int64()), ("n", pa.int64())]),
+    )
+    vals = counts["c"].to_numpy(zero_copy_only=False)
+    cnt = counts["n"].to_numpy(zero_copy_only=False)
+    order = np.argsort(vals, kind="mergesort")
+    vals, cnt = vals[order], cnt[order]
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+    thr = np.array(
+        [
+            int(vals[np.searchsorted(cum, (n - 1) * k // 10 + 1)])
+            for k in range(1, 10)
+        ],
+        dtype=np.int64,
+    )
+    lo = int(prepped.min("us"))
+    hi = int(prepped.max("us"))
+    mid = lo + (hi - lo) // 2
+
+    def cell(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False)
+        us = b["us"].to_numpy(zero_copy_only=False)
+        dec = np.searchsorted(thr, c, side="left").astype(np.int64)
+        first = (us < mid).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "dec": dec,
+                "n_first": first,
+                "n_second": 1 - first,
+            }
+        )
+
+    return ops.grouped_sum_count(
+        prepped.map_batches(cell, batch_size=None, batch_format="pyarrow"),
+        keys=["event_type", "dec"],
+        sums=[("n_first", "n_first"), ("n_second", "n_second")],
+        count_alias="n",
+    )
+
+
+def _drift_sql() -> str:
+    qs = ",\n  ".join(
+        f"""(SELECT c FROM b ORDER BY c LIMIT 1
+   OFFSET (SELECT (COUNT(*) - 1) * {k} // 10 FROM b)) AS t{k}"""
+        for k in range(1, 10)
+    )
+    case = "CASE " + " ".join(
+        f"WHEN c <= (SELECT t{k} FROM t) THEN {k - 1}" for k in range(1, 10)
+    ) + " ELSE 9 END"
+    return f"""
+WITH b AS (SELECT event_type,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+                  CAST(EPOCH_US(ts) AS BIGINT) AS us
+           FROM events),
+t AS (SELECT
+  {qs}),
+m AS (SELECT MIN(us) + (MAX(us) - MIN(us)) // 2 AS mid FROM b)
+SELECT event_type, {case} AS dec, COUNT(*) AS n,
+       CAST(COUNT(*) FILTER (WHERE us < (SELECT mid FROM m)) AS BIGINT)
+         AS n_first,
+       CAST(COUNT(*) FILTER (WHERE us >= (SELECT mid FROM m)) AS BIGINT)
+         AS n_second
+FROM b GROUP BY 1, 2
+"""
+
+
+SQL_VALUE_DRIFT = _drift_sql()
+
+QUERIES["value_drift_deciles"] = q_value_drift_deciles
+ORACLE_SQL["value_drift_deciles"] = SQL_VALUE_DRIFT
