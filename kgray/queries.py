@@ -5873,3 +5873,110 @@ SQL_VALUE_DRIFT = _drift_sql()
 
 QUERIES["value_drift_deciles"] = q_value_drift_deciles
 ORACLE_SQL["value_drift_deciles"] = SQL_VALUE_DRIFT
+
+
+def q_user_recent_types(sf_dir: str):
+    """X61: per-user recency-deduplicated feature list — the 3 most
+    recently seen DISTINCT event types per user (the classic recency
+    feature). Dedup-by-recency collapses to per-(user, type) MAX(ts)
+    (a combiner aggregate — the shuffle carries one row per pair),
+    then `ops.group_topk` ranks the tiny residue; deterministic
+    (ts desc, type) tie order."""
+    from ray.data.aggregate import Max as _Max
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "us": pc.cast(b["ts"], pa.int64()),
+            }
+        )
+
+    last = (
+        ds.map_batches(prep, batch_size=None, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.group_by(["user_id", "event_type"])
+            .aggregate([("us", "max")])
+            .rename_columns(["user_id", "event_type", "us"]),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+        .groupby(["user_id", "event_type"])
+        .aggregate(_Max("us", alias_name="last_us"))
+    )
+    top = ops.group_topk(
+        last, "user_id", ["last_us", "event_type"], 3, ascending=[False, True]
+    )
+    return top.select_columns(["user_id", "event_type", "last_us", "rn"])
+
+
+SQL_USER_RECENT_TYPES = """
+SELECT user_id, event_type, last_us, rn FROM (
+  SELECT user_id, event_type, last_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY last_us DESC, event_type) AS rn
+  FROM (SELECT user_id, event_type,
+               CAST(EPOCH_US(MAX(ts)) AS BIGINT) AS last_us
+        FROM events GROUP BY 1, 2)
+) WHERE rn <= 3
+"""
+
+QUERIES["user_recent_types"] = q_user_recent_types
+ORACLE_SQL["user_recent_types"] = SQL_USER_RECENT_TYPES
+
+
+def q_source_dup_rate(sf_dir: str):
+    """X62: per-source duplication report — the curation dashboard
+    number that decides which feeds get deduplicated first. Doc
+    counts and distinct-text counts each come from a combiner pass
+    (the distinct pass shuffles one row per (source, text) pair);
+    ONE small join + a single float division finish it."""
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    n_docs = ops.grouped_sum_count(
+        ds.select_columns(["source"]), keys=["source"], sums=[], count_alias="n_docs"
+    )
+    n_uniq = ops.grouped_sum_count(
+        ops.distinct(ds, ["source", "text"]).select_columns(["source"]),
+        keys=["source"],
+        sums=[],
+        count_alias="n_unique",
+    ).map_batches(
+        lambda b: pa.table({"js": b["source"], "n_unique": b["n_unique"]}),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+    j = ops.normalize_blocks(
+        ops.hash_join(
+            ops.drop_empty_blocks(n_docs),
+            ops.drop_empty_blocks(n_uniq),
+            on=("source",),
+            right_on=("js",),
+        ),
+        pa.schema(
+            [("source", pa.string()), ("n_docs", pa.int64()), ("n_unique", pa.int64())]
+        ),
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        nd = b["n_docs"].to_numpy(zero_copy_only=False)
+        nu = b["n_unique"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "dup_rate", pa.array((nd - nu).astype(np.float64) / nd)
+        )
+
+    return j.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+SQL_SOURCE_DUP_RATE = """
+SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT text) AS DOUBLE) / COUNT(*) AS dup_rate
+FROM documents GROUP BY source
+"""
+
+QUERIES["source_dup_rate"] = q_source_dup_rate
+ORACLE_SQL["source_dup_rate"] = SQL_SOURCE_DUP_RATE
