@@ -5980,3 +5980,69 @@ FROM documents GROUP BY source
 
 QUERIES["source_dup_rate"] = q_source_dup_rate
 ORACLE_SQL["source_dup_rate"] = SQL_SOURCE_DUP_RATE
+
+
+def q_type_cooccurrence(sf_dir: str):
+    """X63: frequent-itemset pair support — event types co-occurring
+    in the same (user, day) basket (market-basket mining, the
+    2-itemset level). Baskets dedup to distinct (basket, type)
+    through the combiner; ONE self hash-join on the basket key with
+    an a<b filter yields pair occurrences (bounded fan-out: a basket
+    holds at most |type domain| items), counted by a combiner
+    groupby."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    DAY_US = 86400 * 1_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        day = pc.divide(us, DAY_US)
+        basket = pc.add(
+            pc.multiply(b["user_id"], 100_000), day
+        )  # user_id * 1e5 + day: collision-free for this day range
+        return pa.table({"basket": basket, "t": b["event_type"]})
+
+    bt = ops.distinct(
+        ds.map_batches(prep, batch_size=None, batch_format="pyarrow"),
+        ["basket", "t"],
+    ).materialize()  # both sides of the self-join
+    pairs = ops.normalize_blocks(
+        ops.hash_join(
+            bt,
+            ops.drop_empty_blocks(
+                bt.map_batches(
+                    lambda b: pa.table({"jb": b["basket"], "t2": b["t"]}),
+                    batch_size=None,
+                    batch_format="pyarrow",
+                )
+            ),
+            on=("basket",),
+            right_on=("jb",),
+        ),
+        pa.schema(
+            [("basket", pa.int64()), ("t", pa.string()), ("t2", pa.string())]
+        ),
+    ).map_batches(
+        lambda b: b.filter(pc.less(b["t"], b["t2"])).select(["t", "t2"]),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+    return ops.grouped_sum_count(
+        pairs.rename_columns(["type_a", "type_b"]),
+        keys=["type_a", "type_b"],
+        sums=[],
+        count_alias="support",
+    )
+
+
+SQL_TYPE_COOCCURRENCE = """
+WITH b AS (SELECT DISTINCT
+             user_id * 100000 + EPOCH_US(ts) // 86400000000 AS basket,
+             event_type AS t
+           FROM events)
+SELECT x.t AS type_a, y.t AS type_b, COUNT(*) AS support
+FROM b x JOIN b y ON x.basket = y.basket AND x.t < y.t
+GROUP BY 1, 2
+"""
+
+QUERIES["type_cooccurrence"] = q_type_cooccurrence
+ORACLE_SQL["type_cooccurrence"] = SQL_TYPE_COOCCURRENCE
