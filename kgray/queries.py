@@ -6046,3 +6046,138 @@ GROUP BY 1, 2
 
 QUERIES["type_cooccurrence"] = q_type_cooccurrence
 ORACLE_SQL["type_cooccurrence"] = SQL_TYPE_COOCCURRENCE
+
+
+def q_events_trend(sf_dir: str):
+    """X64: per-group OLS trend slope (value drift over time — the
+    monitoring sibling of A17's correlation): x = whole hours since
+    the corpus-wide min timestamp (one global aggregate, broadcast),
+    y = exact cents. Moment partials (n, Σx, Σy, Σxy, Σx²) merge
+    associatively through the combiner; slope = ONE float64 division
+    of two exact int64s (NULL for constant-x groups). Int64 bound
+    documented: n·Σx² < 2^63 for corpora spanning < ~3e5 hours at
+    these row counts; re-origin x per shard beyond that."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    narrow = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "us": pc.cast(b["ts"], pa.int64()),
+                "c": ops.cents(b["value"]),
+            }
+        ),
+        batch_size=None,
+        batch_format="pyarrow",
+    ).materialize()  # min-ts aggregate + the moments pass
+    min_us = int(narrow.min("us"))
+    HOUR_US = 3_600_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = (b["us"].to_numpy(zero_copy_only=False) - min_us) // HOUR_US
+        y = b["c"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "x": x,
+                "y": y,
+                "xy": x * y,
+                "xx": x * x,
+            }
+        )
+
+    m = ops.grouped_sum_count(
+        narrow.map_batches(prep, batch_size=None, batch_format="pyarrow"),
+        keys=["event_type"],
+        sums=[("x", "sx"), ("y", "sy"), ("xy", "sxy"), ("xx", "sxx")],
+        count_alias="n",
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        sx = b["sx"].to_numpy(zero_copy_only=False)
+        sy = b["sy"].to_numpy(zero_copy_only=False)
+        sxy = b["sxy"].to_numpy(zero_copy_only=False)
+        sxx = b["sxx"].to_numpy(zero_copy_only=False)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        mask = den == 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = num.astype(np.float64) / den.astype(np.float64)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "n": b["n"],
+                "slope_cents_per_hour": pa.array(
+                    np.where(mask, 0.0, slope), pa.float64(), mask=mask
+                ),
+            }
+        )
+
+    return m.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+SQL_EVENTS_TREND = """
+WITH b AS (SELECT event_type,
+                  (CAST(EPOCH_US(ts) AS BIGINT)
+                   - (SELECT CAST(MIN(EPOCH_US(ts)) AS BIGINT) FROM events))
+                    // 3600000000 AS x,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+           FROM events),
+m AS (SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM b GROUP BY event_type)
+SELECT event_type, n,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) END
+         AS slope_cents_per_hour
+FROM m
+"""
+
+QUERIES["events_trend"] = q_events_trend
+ORACLE_SQL["events_trend"] = SQL_EVENTS_TREND
+
+
+def q_dedup_normalized_docs(sf_dir: str):
+    """X65: normalization-keyed exact dedup (the C4 move): the dedup
+    key is casefolded text with punctuation stripped and whitespace
+    collapsed, so trivial reformattings collapse to one key — between
+    byte-exact dedup (X1) and near-dup sketches (X2+) in strictness.
+    Normalization is three vectorized Arrow kernels; then the X1
+    hash-agg min-id plan on the derived key."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(b["text"])
+        t = pc.replace_substring_regex(t, r"[^0-9a-z \t\n\r\f]", "")
+        t = pc.replace_substring_regex(t, r"[ \t\n\r\f]+", " ")
+        return pa.table(
+            {"doc_id": b["doc_id"], "norm_text": pc.utf8_trim_whitespace(t)}
+        )
+
+    from .extras import dedup as _dedup
+
+    return _dedup.exact_dedup(
+        ds.map_batches(norm, batch_size=None, batch_format="pyarrow"),
+        "norm_text",
+        "doc_id",
+    )
+
+
+SQL_DEDUP_NORMALIZED = """
+SELECT norm_text, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       COUNT(*) AS n_copies
+FROM (SELECT doc_id,
+             TRIM(REGEXP_REPLACE(
+                 REGEXP_REPLACE(LOWER(text), '[^0-9a-z \\t\\n\\r\\f]', '', 'g'),
+                 '[ \\t\\n\\r\\f]+', ' ', 'g')) AS norm_text
+      FROM documents)
+GROUP BY norm_text
+"""
+
+QUERIES["dedup_normalized_docs"] = q_dedup_normalized_docs
+ORACLE_SQL["dedup_normalized_docs"] = SQL_DEDUP_NORMALIZED
