@@ -6181,3 +6181,132 @@ GROUP BY norm_text
 
 QUERIES["dedup_normalized_docs"] = q_dedup_normalized_docs
 ORACLE_SQL["dedup_normalized_docs"] = SQL_DEDUP_NORMALIZED
+
+
+def q_custkey_bag_intersect(sf_dir: str):
+    """X66: multiset INTERSECT ALL — the other half of the bag
+    algebra (X57): n = min(n_left, n_right) per key, again purely on
+    multiplicities (two combiner groupbys + one inner join on
+    distinct keys; no row-level work)."""
+    import numpy as np
+
+    o = ops.grouped_sum_count(
+        _read(sf_dir, "orders", ["o_custkey"]),
+        keys=["o_custkey"],
+        sums=[],
+        count_alias="na",
+    )
+    e = ops.grouped_sum_count(
+        _read(sf_dir, "events", ["user_id"]).map_batches(
+            lambda b: pa.table({"jk": b["user_id"]}),
+            batch_size=None,
+            batch_format="pyarrow",
+        ),
+        keys=["jk"],
+        sums=[],
+        count_alias="nb",
+    )
+    j = ops.normalize_blocks(
+        ops.hash_join(
+            ops.drop_empty_blocks(o),
+            ops.drop_empty_blocks(e),
+            on=("o_custkey",),
+            right_on=("jk",),
+        ),
+        pa.schema(
+            [("o_custkey", pa.int64()), ("na", pa.int64()), ("nb", pa.int64())]
+        ),
+    )
+
+    def m(b: pa.Table) -> pa.Table:
+        na = b["na"].to_numpy(zero_copy_only=False)
+        nb = b["nb"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"o_custkey": b["o_custkey"], "n": np.minimum(na, nb)}
+        )
+
+    return j.map_batches(m, batch_size=None, batch_format="pyarrow")
+
+
+SQL_CUSTKEY_BAG_INTERSECT = """
+SELECT o_custkey, COUNT(*) AS n FROM (
+  SELECT o_custkey FROM orders
+  INTERSECT ALL
+  SELECT user_id FROM events
+) GROUP BY o_custkey
+"""
+
+QUERIES["custkey_bag_intersect"] = q_custkey_bag_intersect
+ORACLE_SQL["custkey_bag_intersect"] = SQL_CUSTKEY_BAG_INTERSECT
+
+
+def q_cross_source_grams(sf_dir: str):
+    """X67: cross-source phrase-leakage matrix — for every source
+    pair, how many DISTINCT 4-grams they share (syndication /
+    contamination between feeds; the corpus has no byte-identical
+    cross-source texts, so the audit runs at phrase level). Distinct
+    (gram, source) pairs through the combiner, then ONE self
+    hash-join on the gram key with a<b (fan-out bounded by sources
+    per gram <= |sources|), counted per source pair."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def grams(b: pa.Table) -> pa.Table:
+        g = _gram_batch(b)  # (doc_id, gram) all occurrences
+        # ride source through by doc position: _gram_batch repeats
+        # doc rows in order, so rebuild the source column the same way
+        import numpy as _np
+
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        offs = toks.offsets.to_numpy().astype(_np.int64)
+        m = _np.maximum(_np.diff(offs) - 3, 0)
+        src = pa.array(
+            _np.repeat(b["source"].combine_chunks().to_numpy(zero_copy_only=False), m)
+        )
+        return pa.table({"gram": g["gram"], "source": src})
+
+    gs = ops.distinct(
+        ds.map_batches(grams, batch_size=None, batch_format="pyarrow"),
+        ["gram", "source"],
+    ).materialize()  # both sides of the self-join
+    pairs = ops.normalize_blocks(
+        ops.hash_join(
+            gs,
+            ops.drop_empty_blocks(
+                gs.map_batches(
+                    lambda b: pa.table({"jg": b["gram"], "s2": b["source"]}),
+                    batch_size=None,
+                    batch_format="pyarrow",
+                )
+            ),
+            on=("gram",),
+            right_on=("jg",),
+        ),
+        pa.schema(
+            [("gram", pa.string()), ("source", pa.string()), ("s2", pa.string())]
+        ),
+    ).map_batches(
+        lambda b: b.filter(pc.less(b["source"], b["s2"])).select(["source", "s2"]),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+    return ops.grouped_sum_count(
+        pairs.rename_columns(["source_a", "source_b"]),
+        keys=["source_a", "source_b"],
+        sums=[],
+        count_alias="n_shared_grams",
+    )
+
+
+SQL_CROSS_SOURCE_GRAMS = """
+WITH g AS (SELECT DISTINCT ARRAY_TO_STRING(toks[i:i+3], \' \') AS gram, source
+           FROM (SELECT source, STRING_SPLIT(text, \' \') AS toks
+                 FROM documents),
+                UNNEST(RANGE(1, LEN(toks) - 2)) u(i))
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS n_shared_grams
+FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+QUERIES["cross_source_grams"] = q_cross_source_grams
+ORACLE_SQL["cross_source_grams"] = SQL_CROSS_SOURCE_GRAMS
