@@ -6310,3 +6310,88 @@ GROUP BY 1, 2
 
 QUERIES["cross_source_grams"] = q_cross_source_grams
 ORACLE_SQL["cross_source_grams"] = SQL_CROSS_SOURCE_GRAMS
+
+
+def q_event_gap_median(sf_dir: str):
+    """X68: median inter-arrival gap per event type — latency/cadence
+    telemetry composing the LAG primitive with the exact doubled-units
+    median (X54): per-user consecutive timestamp deltas (one key
+    shuffle, deterministic (ts, event_id) order), then a
+    combiner-bounded value-count walk per type; med2 = 2*median stays
+    an exact integer."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def us_col(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "us": pc.cast(b["ts"], pa.int64()),
+            }
+        )
+
+    lagged = ops.group_lag(
+        ds.map_batches(us_col, batch_size=None, batch_format="pyarrow"),
+        "user_id",
+        ["us", "event_id"],
+        {"us": "prev_us"},
+    )
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["prev_us"].notna()]
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "gap": (df["us"] - df["prev_us"].astype("int64")).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    counts = ops.grouped_sum_count(
+        lagged.map_batches(gaps, batch_size=None, batch_format="pandas"),
+        keys=["event_type", "gap"],
+        sums=[],
+        count_alias="_n",
+    )
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g["gap"].to_numpy()
+        cnts = g["_n"].to_numpy()
+        order = np.argsort(vals, kind="mergesort")
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        r1, r2 = (n - 1) // 2, n // 2
+        v1 = vals[np.searchsorted(cum, r1 + 1)]
+        v2 = vals[np.searchsorted(cum, r2 + 1)]
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_gaps": [n],
+                "med2_gap_us": [int(v1 + v2)],
+            }
+        )
+
+    return counts.groupby("event_type").map_groups(walk, batch_format="pandas")
+
+
+SQL_EVENT_GAP_MEDIAN = """
+WITH g AS (
+  SELECT event_type,
+         CAST(EPOCH_US(ts) AS BIGINT)
+           - LAG(CAST(EPOCH_US(ts) AS BIGINT)) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT event_type, COUNT(*) AS n_gaps,
+       CAST(MEDIAN(2 * gap) AS BIGINT) AS med2_gap_us
+FROM g WHERE gap IS NOT NULL GROUP BY event_type
+"""
+
+QUERIES["event_gap_median"] = q_event_gap_median
+ORACLE_SQL["event_gap_median"] = SQL_EVENT_GAP_MEDIAN
