@@ -6395,3 +6395,114 @@ FROM g WHERE gap IS NOT NULL GROUP BY event_type
 
 QUERIES["event_gap_median"] = q_event_gap_median
 ORACLE_SQL["event_gap_median"] = SQL_EVENT_GAP_MEDIAN
+
+
+def q_events_outliers_mad(sf_dir: str):
+    """X69: robust outlier counts — events whose |value - median|
+    exceeds 3 robust scales (the MAD z-test every monitoring pipeline
+    runs), ENTIRELY in integers: |2c - med2|*2 > 3*mad4 is the exact
+    doubled/quadrupled-units form of |c - med| > 3*MAD. Reuses the
+    X54 two-pass machinery (combiner value counts + per-group walks),
+    broadcasts the tiny (med2, mad4) table, and finishes with one
+    combiner groupby of indicator sums."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": b["event_type"], "c": ops.cents(b["value"])}
+        )
+
+    prepped = ds.map_batches(
+        prep, batch_size=None, batch_format="pyarrow"
+    ).materialize()
+
+    def walk_med2(g: pd.DataFrame, col: str, out: str) -> pd.DataFrame:
+        vals = g[col].to_numpy()
+        cnts = g["_n"].to_numpy()
+        order = np.argsort(vals, kind="mergesort")
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        r1, r2 = (n - 1) // 2, n // 2
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                out: [
+                    int(
+                        vals[np.searchsorted(cum, r1 + 1)]
+                        + vals[np.searchsorted(cum, r2 + 1)]
+                    )
+                ],
+            }
+        )
+
+    c1 = ops.grouped_sum_count(
+        prepped, keys=["event_type", "c"], sums=[], count_alias="_n"
+    )
+    med = (
+        c1.groupby("event_type")
+        .map_groups(lambda g: walk_med2(g, "c", "med2"), batch_format="pandas")
+        .to_pandas()
+    )
+    m2 = dict(zip(med.event_type, med.med2))
+
+    def dev(b: pa.Table) -> pa.Table:
+        t = b["event_type"].to_pylist()
+        c = b["c"].to_numpy(zero_copy_only=False)
+        m = np.array([m2[x] for x in t], dtype=np.int64)
+        return pa.table(
+            {"event_type": b["event_type"], "d2": np.abs(2 * c - m)}
+        )
+
+    c2 = ops.grouped_sum_count(
+        prepped.map_batches(dev, batch_size=None, batch_format="pyarrow"),
+        keys=["event_type", "d2"],
+        sums=[],
+        count_alias="_n",
+    )
+    mad = (
+        c2.groupby("event_type")
+        .map_groups(lambda g: walk_med2(g, "d2", "mad4"), batch_format="pandas")
+        .to_pandas()
+    )
+    m4 = dict(zip(mad.event_type, mad.mad4))
+
+    def flag(b: pa.Table) -> pa.Table:
+        t = b["event_type"].to_pylist()
+        c = b["c"].to_numpy(zero_copy_only=False)
+        med_a = np.array([m2[x] for x in t], dtype=np.int64)
+        mad_a = np.array([m4[x] for x in t], dtype=np.int64)
+        out = (np.abs(2 * c - med_a) * 2 > 3 * mad_a).astype(np.int64)
+        return pa.table(
+            {"event_type": b["event_type"], "is_outlier": out}
+        )
+
+    return ops.grouped_sum_count(
+        prepped.map_batches(flag, batch_size=None, batch_format="pyarrow"),
+        keys=["event_type"],
+        sums=[("is_outlier", "n_outliers")],
+        count_alias="n",
+    )
+
+
+SQL_EVENTS_OUTLIERS_MAD = """
+WITH b AS (SELECT event_type,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+           FROM events),
+m AS (SELECT event_type, CAST(MEDIAN(2 * c) AS BIGINT) AS med2
+      FROM b GROUP BY 1),
+d AS (SELECT b.event_type, b.c, m.med2,
+             CAST(MEDIAN(2 * ABS(2 * b.c - m.med2)) OVER (
+                 PARTITION BY b.event_type) AS BIGINT) AS mad4
+      FROM b JOIN m USING (event_type))
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN ABS(2 * c - med2) * 2 > 3 * mad4
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM d GROUP BY event_type
+"""
+
+QUERIES["events_outliers_mad"] = q_events_outliers_mad
+ORACLE_SQL["events_outliers_mad"] = SQL_EVENTS_OUTLIERS_MAD
