@@ -35,11 +35,42 @@ def entry() -> Any:
     )
 
 
+def _driver_checked() -> set:
+    """Query names that already have a row in any CORRECTNESS_r*.json.
+
+    The driver verifies a fixed-size window from the FRONT of the
+    registry each round, so rotation is required for full external
+    coverage: entries it has never checked must come first.
+    """
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: set = set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                seen |= set(json.load(f))
+        except Exception:
+            continue
+    return seen
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    """One entry per implemented operator/pipeline from SURVEY.md §2.
+
+    Ordered so the driver's front-of-registry correctness window lands
+    on the least-recently-verified queries first: flagship smoke entries,
+    then everything no CORRECTNESS_r*.json has ever covered (in stable
+    registry order), then the already-driver-green tail.
+    """
     from kgray import queries as q
 
-    return q.QUERIES
+    seen = _driver_checked()
+    smoke = [n for n in ("kg_triples", "pricing_summary") if n in q.QUERIES]
+    fresh = [n for n in q.QUERIES if n not in seen and n not in smoke]
+    stale = [n for n in q.QUERIES if n in seen and n not in smoke]
+    return {n: q.QUERIES[n] for n in smoke + fresh + stale}
 
 
 def oracle_sql() -> dict[str, str]:
