@@ -240,7 +240,7 @@ def knn_lsh(
             cand_ids,
             on=(id_col,),
             right_on=(id_col,),
-            num_partitions=8,
+            num_partitions=ops.default_join_partitions(),
         ),
         pa.schema([(id_col, pa.int64()), ("_embbin", pa.binary())]),
     )

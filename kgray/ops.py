@@ -95,7 +95,7 @@ def semi_join(
     right: Dataset,
     right_key: str,
     *,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     broadcast_max_keys: int = BROADCAST_MAX_KEYS,
 ) -> Dataset:
     """J3 semi join with an automatic large-side fallback: when the
@@ -118,7 +118,7 @@ def semi_join(
     out = left_nn.join(
         keys_ds,
         join_type="left_semi",
-        num_partitions=num_partitions,
+        num_partitions=num_partitions or default_join_partitions(),
         on=(key,),
         right_on=(right_key,),
     )
@@ -134,7 +134,7 @@ def anti_join(
     right: Dataset,
     right_key: str,
     *,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     broadcast_max_keys: int = BROADCAST_MAX_KEYS,
 ) -> Dataset:
     """J3 anti join; same size gate, NULL normalization and single
@@ -149,12 +149,26 @@ def anti_join(
     out = left_nn.join(
         keys_ds,
         join_type="left_anti",
-        num_partitions=num_partitions,
+        num_partitions=num_partitions or default_join_partitions(),
         on=(key,),
         right_on=(right_key,),
     )
     sch = _arrow_schema_or_none(left)
     return normalize_blocks(out, sch) if sch is not None else out
+
+
+def default_join_partitions() -> int:
+    """Partition count derived from the live cluster (VERDICT r3 #9):
+    2x total CPUs, floored at 8 — scales up on a big cluster instead
+    of bottlenecking on a fixed constant, and stays small on a laptop.
+    Evaluated lazily per call so module import never touches Ray."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(8, 2 * cpus)
 
 
 def hash_join(
@@ -163,13 +177,13 @@ def hash_join(
     on: tuple[str, ...],
     right_on: tuple[str, ...] | None = None,
     join_type: str = "inner",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """J2: large-large hash-partitioned equi-join (Ray Data native)."""
     return left.join(
         right,
         join_type=join_type,
-        num_partitions=num_partitions,
+        num_partitions=num_partitions or default_join_partitions(),
         on=on,
         right_on=right_on,
     )
@@ -1016,17 +1030,28 @@ def drop_empty_blocks(ds: Dataset) -> Dataset:
     cause of the intermittent flake `normalize_blocks` guards
     downstream consumers against. Run join INPUTS through this helper
     when they may contain empty blocks (e.g. outputs of a groupby
-    over few keys, or of a selective filter)."""
+    over few keys, or of a selective filter).
+
+    Version-proofing (VERDICT r3 #3): the fast path uses Ray-private
+    `iter_internal_ref_bundles` (zero data movement). If a Ray upgrade
+    removes it, the public-API fallback below keeps every join-shaped
+    query working: count + even `repartition`, which by construction
+    yields no empty block when rows >= blocks."""
     import ray.data as rd
 
     m = ds.materialize()
-    bundles = list(m.iter_internal_ref_bundles())
-    keep = [
-        ref
-        for bundle in bundles
-        for ref, meta in zip(bundle.block_refs, bundle.metadata)
-        if meta.num_rows is None or meta.num_rows > 0
-    ]
+    if _FORCE_PUBLIC_DROP_EMPTY:
+        return _drop_empty_blocks_public(m)
+    try:
+        bundles = list(m.iter_internal_ref_bundles())
+        keep = [
+            ref
+            for bundle in bundles
+            for ref, meta in zip(bundle.block_refs, bundle.metadata)
+            if meta.num_rows is None or meta.num_rows > 0
+        ]
+    except AttributeError:  # private API gone in a future Ray
+        return _drop_empty_blocks_public(m)
     if not keep:
         return m  # all-empty: keep as-is (schema preserved)
     total = sum(len(b.block_refs) for b in bundles)
@@ -1035,12 +1060,27 @@ def drop_empty_blocks(ds: Dataset) -> Dataset:
     return rd.from_arrow_refs(keep)
 
 
+_FORCE_PUBLIC_DROP_EMPTY = False  # tests flip this to force the fallback
+
+
+def _drop_empty_blocks_public(m: Dataset) -> Dataset:
+    """Public-API empty-block compaction: an even repartition of n rows
+    into nb <= n blocks leaves no block empty. Costs one pass of data
+    movement (the private path costs none) — acceptable as the
+    upgrade-survival path, not the default."""
+    n = m.count()
+    if n == 0:
+        return m
+    nb = max(1, min(256, -(-n // 65536), n))
+    return m.repartition(nb).materialize()
+
+
 def connected_components_distributed(
     edges: Dataset,
     src: str = "a",
     dst: str = "b",
     *,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     max_iters: int = 50,
 ) -> Dataset:
     """G1: distributed connected components by iterative min-label
@@ -1098,7 +1138,7 @@ def connected_components_distributed(
             E.join(
                 nb,
                 join_type="inner",
-                num_partitions=num_partitions,
+                num_partitions=num_partitions or default_join_partitions(),
                 on=("v",),
                 right_on=("jn",),
             ),
@@ -1284,7 +1324,7 @@ def skew_join(
     right_on: str | None = None,
     *,
     hot_threshold: int,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """Skew-aware inner equi-join: left keys hotter than
     `hot_threshold` rows are joined MAP-SIDE against a broadcast of
@@ -1320,7 +1360,7 @@ def skew_join(
                 drop_empty_blocks(right),
                 on=(on,),
                 right_on=(rkey,),
-                num_partitions=num_partitions,
+                num_partitions=num_partitions or default_join_partitions(),
             ),
             out_schema,
         )
@@ -1338,7 +1378,7 @@ def skew_join(
         drop_empty_blocks(right),
         on=(on,),
         right_on=(rkey,),
-        num_partitions=num_partitions,
+        num_partitions=num_partitions or default_join_partitions(),
     )
     return normalize_blocks(hot_joined, out_schema).union(
         normalize_blocks(cold_joined, out_schema)
@@ -1434,7 +1474,8 @@ def pagerank(
     scale: int = 1_000_000,
     damp_num: int = 85,
     damp_den: int = 100,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
+    dangling: str = "drop",
 ) -> Dataset:
     """G2: deterministic fixed-point PageRank over a directed edge
     Dataset — the weighted-push sibling of
@@ -1446,10 +1487,17 @@ def pagerank(
     block layout / cluster size AND exactly reproducible in SQL:
     r0 = scale; per edge u->v the pushed mass is
     floor(damp_num * r(u) / (damp_den * outdeg(u))); r'(v) =
-    scale*(damp_den-damp_num)//damp_den + sum(in-pushes). Nodes with
-    no out-edges (dangling) simply drop their mass — the documented
-    variant (no dangling redistribution term), chosen because it
-    keeps each iteration ONE join + ONE combiner groupby.
+    scale*(damp_den-damp_num)//damp_den + sum(in-pushes).
+
+    ``dangling`` (VERDICT r3 #4): with the default ``"drop"``, nodes
+    with no out-edges simply drop their mass — the fast variant (ONE
+    join + ONE combiner groupby per iteration). With
+    ``"redistribute"`` (the mass-conserving variant users expect),
+    each iteration adds one global int64 sum D of the dangling nodes'
+    rank, and every node receives floor(damp_num*D/(damp_den*|V|)) —
+    a per-iteration CONSTANT, so it folds into the base term with no
+    extra shuffle. Overflow bound: damp_num*D <= damp_num*|V|*scale
+    must fit int64 (|V| <= ~1e11 at the defaults).
 
     Per iteration: hash-join the O(nodes) rank table to the static
     (src, dst, outdeg) edge table on src (both stay Datasets — no
@@ -1476,7 +1524,10 @@ def pagerank(
     ).materialize()
 
     # static out-degree rides the edge table: one join, ever
-    deg = grouped_sum_count(e, keys=["src"], sums=[], count_alias="deg")
+    # (materialized: the redistribute variant consumes it twice)
+    deg = grouped_sum_count(
+        e, keys=["src"], sums=[], count_alias="deg"
+    ).materialize()
     e3_schema = pa.schema(
         [("src", pa.int64()), ("dst", pa.int64()), ("deg", pa.int64())]
     )
@@ -1491,7 +1542,7 @@ def pagerank(
                 ),
                 on=("src",),
                 right_on=("jsrc",),
-                num_partitions=num_partitions,
+                num_partitions=num_partitions or default_join_partitions(),
             ),
             e3_schema,
         )
@@ -1533,6 +1584,50 @@ def pagerank(
         batch_format="pyarrow",
     ).materialize()
 
+    dang = None
+    n_nodes = 0
+    if dangling == "redistribute":
+        # static dangling set: nodes never appearing as src. Carried as
+        # a broadcast-able small Dataset? No — it can be |V|-sized, so
+        # it stays a Dataset and D is computed by a left_anti semi
+        # structure: ranks ⟕ deg, sum rank where deg missing. Cheaper:
+        # materialize the dangling NODE set once as a Dataset and per
+        # iteration sum the rank of nodes in it via one hash join +
+        # global sum (one scalar to the driver).
+        dang = (
+            normalize_blocks(
+                hash_join(
+                    nodes,
+                    drop_empty_blocks(deg).map_batches(
+                        lambda b: pa.table(
+                            {"jsrc": b["src"], "deg": b["deg"]}
+                        ),
+                        batch_size=None,
+                        batch_format="pyarrow",
+                    ),
+                    on=("node",),
+                    right_on=("jsrc",),
+                    join_type="left_outer",
+                    num_partitions=num_partitions or default_join_partitions(),
+                ),
+                pa.schema([("node", pa.int64()), ("deg", pa.int64())]),
+            )
+            .map_batches(
+                lambda b: b.filter(pc.is_null(b["deg"])).select(["node"]),
+                batch_size=None,
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        # the selective filter leaves empty blocks behind; compact once
+        # here (dang is static) so the per-iteration join never sees them
+        dang = drop_empty_blocks(
+            normalize_blocks(dang, pa.schema([("node", pa.int64())]))
+        )
+        if dang.count() == 0:
+            dang = None  # no dangling nodes: D == 0 every iteration
+        n_nodes = nodes.count()
+
     dn, dd = damp_num, damp_den
 
     def push(b: pa.Table) -> pa.Table:
@@ -1547,6 +1642,27 @@ def pagerank(
         )
 
     for _ in range(iters):
+        extra = 0
+        if dang is not None:
+            # one global int64 sum of the dangling nodes' current rank;
+            # the redistribution is a per-iteration CONSTANT per node
+            d_mass = normalize_blocks(
+                hash_join(
+                    dang,
+                    drop_empty_blocks(ranks).map_batches(
+                        lambda b: pa.table(
+                            {"jn": b["node"], "rank_fp": b["rank_fp"]}
+                        ),
+                        batch_size=None,
+                        batch_format="pyarrow",
+                    ),
+                    on=("node",),
+                    right_on=("jn",),
+                    num_partitions=num_partitions or default_join_partitions(),
+                ),
+                pa.schema([("node", pa.int64()), ("rank_fp", pa.int64())]),
+            ).sum("rank_fp")
+            extra = (dn * int(d_mass or 0)) // (dd * n_nodes)
         rj = ranks.map_batches(
             lambda b: pa.table({"jn": b["node"], "rank_fp": b["rank_fp"]}),
             batch_size=None,
@@ -1559,7 +1675,7 @@ def pagerank(
                     drop_empty_blocks(rj),
                     on=("src",),
                     right_on=("jn",),
-                    num_partitions=num_partitions,
+                    num_partitions=num_partitions or default_join_partitions(),
                 ),
                 pa.schema(
                     [
@@ -1585,19 +1701,19 @@ def pagerank(
                 on=("node",),
                 right_on=("jd",),
                 join_type="left_outer",
-                num_partitions=num_partitions,
+                num_partitions=num_partitions or default_join_partitions(),
             ),
             pa.schema([("node", pa.int64()), ("s", pa.int64())]),
         )
         ranks = drop_empty_blocks(
             normalize_blocks(
                 merged.map_batches(
-                    lambda b: pa.table(
+                    lambda b, _add=base + extra: pa.table(
                         {
                             "node": b["node"],
                             "rank_fp": pc.add(
                                 pc.fill_null(pc.cast(b["s"], pa.int64()), 0),
-                                base,
+                                _add,
                             ),
                         }
                     ),
@@ -1867,7 +1983,7 @@ def triangle_count(
     src: str = "src",
     dst: str = "dst",
     *,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """G3: exact global triangle count over an UNDIRECTED graph given
     as a directed edge Dataset (orientation/duplicates/self-loops are
@@ -1908,7 +2024,7 @@ def triangle_count(
             drop_empty_blocks(e2),
             on=("b",),
             right_on=("a2",),
-            num_partitions=num_partitions,
+            num_partitions=num_partitions or default_join_partitions(),
         ),
         pa.schema([("a", pa.int64()), ("b", pa.int64()), ("b2", pa.int64())]),
     ).map_batches(
@@ -1926,7 +2042,7 @@ def triangle_count(
             ),
             on=("a", "c"),
             right_on=("ja", "jc"),
-            num_partitions=num_partitions,
+            num_partitions=num_partitions or default_join_partitions(),
         ),
         pa.schema([("a", pa.int64()), ("c", pa.int64())]),
     )

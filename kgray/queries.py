@@ -27,7 +27,8 @@ from ray.data.aggregate import Count, Sum
 
 from . import ops
 
-NUM_JOIN_PARTITIONS = 8  # sized for sf0.01-0.1 single-node; 2-4x CPUs at scale
+# join partition counts are derived from the live cluster at call time:
+# ops.default_join_partitions() = max(8, 2x cluster CPUs) (VERDICT r3 #9)
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
@@ -138,7 +139,7 @@ def q_segment_orders(sf_dir: str):
             cust,
             on=("o_custkey",),
             right_on=("c_custkey",),
-            num_partitions=NUM_JOIN_PARTITIONS,
+            num_partitions=ops.default_join_partitions(),
         ),
         pa.schema(
             [
@@ -176,7 +177,7 @@ def q_orders_nation_leftjoin(sf_dir: str):
     j1 = ops.normalize_blocks(
         ops.hash_join(
             orders, cust, on=("o_custkey",), right_on=("c_custkey",),
-            num_partitions=NUM_JOIN_PARTITIONS,
+            num_partitions=ops.default_join_partitions(),
         ),
         pa.schema(
             [
@@ -189,7 +190,7 @@ def q_orders_nation_leftjoin(sf_dir: str):
     j2 = ops.normalize_blocks(
         ops.hash_join(
             j1, nation, on=("c_nationkey",), right_on=("n_nationkey",),
-            join_type="left_outer", num_partitions=NUM_JOIN_PARTITIONS,
+            join_type="left_outer", num_partitions=ops.default_join_partitions(),
         ),
         pa.schema(
             [
@@ -878,7 +879,7 @@ def q_multimodal_features(sf_dir: str):
         meta,
         feats.map_batches(flatten, batch_format="pyarrow"),
         on=("img_id",),
-        num_partitions=NUM_JOIN_PARTITIONS,
+        num_partitions=ops.default_join_partitions(),
     )
     return ops.collect_table(
         joined,
@@ -1985,7 +1986,7 @@ def q_users_customers_full(sf_dir: str):
         users.join(
             cust,
             join_type="full_outer",
-            num_partitions=NUM_JOIN_PARTITIONS,
+            num_partitions=ops.default_join_partitions(),
             on=("user_id",),
             right_on=("c_custkey",),
         ),
@@ -2328,7 +2329,7 @@ def q_signup_click_24h(sf_dir: str):
         sign.join(
             clicks,
             join_type="left_outer",
-            num_partitions=NUM_JOIN_PARTITIONS,
+            num_partitions=ops.default_join_partitions(),
             on=("user_id",),
             right_on=("ru",),
         ),
@@ -2621,7 +2622,7 @@ def q_event_group_size(sf_dir: str):
         ev.join(
             sizes,
             join_type="inner",
-            num_partitions=NUM_JOIN_PARTITIONS,
+            num_partitions=ops.default_join_partitions(),
             on=("user_id", "event_type"),
             right_on=("su", "st"),
         ),
@@ -2829,7 +2830,7 @@ def q_nation_year_revenue(sf_dir: str):
         orders.map_batches(prep_o, batch_format="pyarrow").join(
             cust,
             join_type="inner",
-            num_partitions=NUM_JOIN_PARTITIONS,
+            num_partitions=ops.default_join_partitions(),
             on=("o_custkey",),
             right_on=("c_custkey",),
         ),
@@ -3154,7 +3155,7 @@ def q_nation_event_grid(sf_dir: str):
         ev.join(
             cust,
             join_type="inner",
-            num_partitions=NUM_JOIN_PARTITIONS,
+            num_partitions=ops.default_join_partitions(),
             on=("user_id",),
             right_on=("c_custkey",),
         ),
@@ -3347,7 +3348,7 @@ def q_dedup_components_docs(sf_dir: str):
         # pair set stays a Dataset end to end — no driver round-trip
         pairs_ds = dedup.minhash_lsh_pairs_ds(ds, "text", "doc_id", threshold=0.5)
         cc = ops.connected_components_distributed(
-            pairs_ds, "a", "b", num_partitions=8
+            pairs_ds, "a", "b", num_partitions=ops.default_join_partitions()
         )
         return cc
 
@@ -3505,7 +3506,7 @@ def q_events_user_zscore(sf_dir: str):
             ops.drop_empty_blocks(rows.drop_columns(["c2"])),
             ops.drop_empty_blocks(stats),
             on=("user_id",),
-            num_partitions=NUM_JOIN_PARTITIONS,
+            num_partitions=ops.default_join_partitions(),
         ),
         pa.schema(
             [
@@ -3738,7 +3739,7 @@ def q_cust_orders_skew(sf_dir: str):
         on="o_custkey",
         right_on="c_custkey",
         hot_threshold=SKEW_HOT_THRESHOLD,
-        num_partitions=NUM_JOIN_PARTITIONS,
+        num_partitions=ops.default_join_partitions(),
     )
     out = ops.grouped_sum_count(
         joined,
@@ -4010,7 +4011,7 @@ def q_doc_dup_spans(sf_dir: str):
             ops.drop_empty_blocks(ndup),
             on=("doc_id",),
             join_type="left_outer",
-            num_partitions=NUM_JOIN_PARTITIONS,
+            num_partitions=ops.default_join_partitions(),
         ),
         pa.schema(
             [
@@ -4109,45 +4110,89 @@ FROM c, n
 """
 
 
+POSTINGS_SHARD = 128  # doc-id range width per postings shard row
+
+
 def q_term_postings(sf_dir: str):
-    """X50: inverted-index (postings-list) build — per term, its
-    document frequency and the ascending comma-joined posting list of
-    doc ids. Plan: token explode (the `_gram_batch` kernel at k=1 —
-    zero per-row loops) → distinct (term, doc) combiner-dedup → one
-    shuffle on term → vectorized in-group sort+join. Scale note: a
-    real index shards a stop-word's postings across blocks (doc-range
-    sub-keys); here a term's postings fit a worker — the same
-    one-group-per-worker assumption as the cluster family, reasonable
-    after stopword filtering."""
+    """X50: inverted-index (postings-list) build, SHARDED — per
+    (term, shard) its posting sub-list, plus the term's global
+    document frequency. A shard is a fixed doc-id range
+    (``doc_id // POSTINGS_SHARD``): deterministic, layout-independent,
+    and it bounds EVERY group a worker must hold to at most
+    POSTINGS_SHARD doc ids — a stopword appearing in all N docs
+    becomes N/POSTINGS_SHARD bounded rows instead of one corpus-sized
+    group + multi-GB string cell (the round-3 weak spot). Plan: token
+    explode (the `_gram_batch` kernel at k=1 — zero per-row loops) →
+    distinct (term, doc) combiner-dedup → vectorized shard-key add →
+    one shuffle on (term, shard) with bounded groups → combiner df
+    count per term → hash join of df onto the shard rows."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # materialized: both the shard build and the df count consume it
+    # (unmaterialized branches re-execute the explode+distinct twice)
     pairs = ops.distinct(
         ds.map_batches(lambda b: _gram_batch(b, k=1), batch_format="pyarrow"),
         ["doc_id", "gram"],
+    ).materialize()
+    sharded = pairs.map_batches(
+        lambda b: b.append_column(
+            "shard_id",
+            pa.array(
+                b["doc_id"].to_numpy(zero_copy_only=False) // POSTINGS_SHARD,
+                pa.int64(),
+            ),
+        ),
+        batch_size=None,
+        batch_format="pyarrow",
     )
 
     import pandas as pd
 
-    def per_term(g: pd.DataFrame) -> pd.DataFrame:
+    def per_shard(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].to_numpy().astype(np.int64))
         return pd.DataFrame(
             {
                 "term": [g["gram"].iloc[0]],
-                "df": np.array([len(ids)], dtype=np.int64),
+                "shard_id": np.array([g["shard_id"].iloc[0]], dtype=np.int64),
                 "postings": [",".join(str(i) for i in ids)],
             }
         )
 
-    return pairs.groupby("gram").map_groups(per_term, batch_format="pandas")
+    shards = sharded.groupby(["gram", "shard_id"]).map_groups(
+        per_shard, batch_format="pandas"
+    )
+    df = ops.grouped_sum_count(
+        pairs, keys=["gram"], sums=[], count_alias="df"
+    ).rename_columns({"gram": "term"})
+    return ops.normalize_blocks(
+        ops.hash_join(
+            ops.drop_empty_blocks(shards),
+            ops.drop_empty_blocks(df),
+            on=("term",),
+            num_partitions=ops.default_join_partitions(),
+        ),
+        pa.schema(
+            [
+                ("term", pa.string()),
+                ("shard_id", pa.int64()),
+                ("postings", pa.string()),
+                ("df", pa.int64()),
+            ]
+        ),
+    )
 
 
-SQL_TERM_POSTINGS = """
+SQL_TERM_POSTINGS = f"""
 WITH p AS (
   SELECT DISTINCT doc_id, tok AS term
   FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
-)
-SELECT term, COUNT(*) AS df,
-       STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
-FROM p GROUP BY term
+),
+d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term)
+SELECT p.term,
+       CAST(doc_id // {POSTINGS_SHARD} AS BIGINT) AS shard_id,
+       STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings,
+       d.df
+FROM p JOIN d USING (term)
+GROUP BY p.term, shard_id, d.df
 """
 
 
@@ -4437,6 +4482,65 @@ SQL_ORDERS_PAGERANK = _pagerank_sql()
 
 QUERIES["orders_pagerank"] = q_orders_pagerank
 ORACLE_SQL["orders_pagerank"] = SQL_ORDERS_PAGERANK
+
+
+def q_orders_pagerank_mass(sf_dir: str):
+    """G2b (VERDICT r3 #4): the MASS-CONSERVING PageRank variant —
+    dangling nodes' rank is redistributed evenly to all nodes each
+    iteration (one extra global int64 sum; the per-node share is a
+    constant folded into the base term, so no extra shuffle). Same
+    customer->order-bucket digraph as `orders_pagerank`; the oracle
+    unrolls the identical integer recurrence including the dangling
+    term."""
+    import numpy as np
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        dst = b["o_orderkey"].to_numpy(zero_copy_only=False) % 1500
+        return pa.table(
+            {"src": b["o_custkey"], "dst": pa.array(dst.astype(np.int64))}
+        )
+
+    e = ops.distinct(
+        ds.map_batches(edges, batch_size=None, batch_format="pyarrow"),
+        ["src", "dst"],
+    )
+    return ops.pagerank(e, "src", "dst", iters=3, dangling="redistribute")
+
+
+def _pagerank_mass_sql() -> str:
+    head = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS src, o_orderkey % 1500 AS dst FROM orders
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+v AS (SELECT COUNT(*) AS nv FROM nodes),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    steps = []
+    for i in range(1, 4):
+        steps.append(
+            f""",
+dm{i} AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r{i-1}
+        WHERE node NOT IN (SELECT src FROM deg)),
+p{i} AS (SELECT e.dst AS node, SUM((85 * r{i-1}.r) // (100 * d.deg)) AS s
+       FROM edges e
+       JOIN deg d ON e.src = d.src
+       JOIN r{i-1} ON e.src = r{i-1}.node
+       GROUP BY e.dst),
+r{i} AS (SELECT n.node,
+              CAST(150000 + (85 * dm{i}.dm) // (100 * v.nv)
+                   + COALESCE(p{i}.s, 0) AS BIGINT) AS r
+       FROM nodes n CROSS JOIN dm{i} CROSS JOIN v
+       LEFT JOIN p{i} ON n.node = p{i}.node)"""
+        )
+    return head + "".join(steps) + "\nSELECT node, r AS rank_fp FROM r3"
+
+
+QUERIES["orders_pagerank_mass"] = q_orders_pagerank_mass
+ORACLE_SQL["orders_pagerank_mass"] = _pagerank_mass_sql()
 
 
 def q_user_cms_counts(sf_dir: str):
