@@ -1012,7 +1012,9 @@ def group_quantile_disc(
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
 
 
-def drop_empty_blocks(ds: Dataset) -> Dataset:
+def drop_empty_blocks(
+    ds: Dataset, *, empty_schema: pa.Schema | None = None
+) -> Dataset:
     """Compact away zero-row blocks (metadata-only; data never moves
     or leaves the object store).
 
@@ -1036,12 +1038,19 @@ def drop_empty_blocks(ds: Dataset) -> Dataset:
     `iter_internal_ref_bundles` (zero data movement). If a Ray upgrade
     removes it, the public-API fallback below keeps every join-shaped
     query working: count + even `repartition`, which by construction
-    yields no empty block when rows >= blocks."""
+    yields no empty block when rows >= blocks.
+
+    ``empty_schema``: schema to synthesize a typed 1-block empty
+    Dataset from when EVERY block is empty. Empty map outputs carry
+    ZERO columns (map_batches never invokes the UDF on empty blocks,
+    so not even `normalize_blocks` can repair them) — without this, an
+    all-empty input poisons a downstream join exactly like the
+    partial-empty case."""
     import ray.data as rd
 
     m = ds.materialize()
     if _FORCE_PUBLIC_DROP_EMPTY:
-        return _drop_empty_blocks_public(m)
+        return _drop_empty_blocks_public(m, empty_schema)
     try:
         bundles = list(m.iter_internal_ref_bundles())
         keep = [
@@ -1051,9 +1060,11 @@ def drop_empty_blocks(ds: Dataset) -> Dataset:
             if meta.num_rows is None or meta.num_rows > 0
         ]
     except AttributeError:  # private API gone in a future Ray
-        return _drop_empty_blocks_public(m)
+        return _drop_empty_blocks_public(m, empty_schema)
     if not keep:
-        return m  # all-empty: keep as-is (schema preserved)
+        if empty_schema is not None:
+            return rd.from_arrow(empty_schema.empty_table())
+        return m  # all-empty: keep as-is (schema unknowable here)
     total = sum(len(b.block_refs) for b in bundles)
     if len(keep) == total:
         return m
@@ -1063,13 +1074,19 @@ def drop_empty_blocks(ds: Dataset) -> Dataset:
 _FORCE_PUBLIC_DROP_EMPTY = False  # tests flip this to force the fallback
 
 
-def _drop_empty_blocks_public(m: Dataset) -> Dataset:
+def _drop_empty_blocks_public(
+    m: Dataset, empty_schema: pa.Schema | None = None
+) -> Dataset:
     """Public-API empty-block compaction: an even repartition of n rows
     into nb <= n blocks leaves no block empty. Costs one pass of data
     movement (the private path costs none) — acceptable as the
     upgrade-survival path, not the default."""
+    import ray.data as rd
+
     n = m.count()
     if n == 0:
+        if empty_schema is not None:
+            return rd.from_arrow(empty_schema.empty_table())
         return m
     nb = max(1, min(256, -(-n // 65536), n))
     return m.repartition(nb).materialize()
@@ -1984,18 +2001,25 @@ def triangle_count(
     dst: str = "dst",
     *,
     num_partitions: int | None = None,
+    orient: str = "degree",
+    with_wedges: bool = False,
 ) -> Dataset:
     """G3: exact global triangle count over an UNDIRECTED graph given
     as a directed edge Dataset (orientation/duplicates/self-loops are
-    normalized away). The classic two-join plan: canonicalize each
-    edge to (a < b), build wedges a<b<c by joining e1.b = e2.a (the
-    ordering makes every triangle appear as exactly ONE wedge), then
-    a composite-key hash join verifies the closing edge (a, c) — so
-    each triangle is counted once, no division by 3/6. Shuffle volume
-    is |E| + |wedges| (sum of squared out-degrees under the a<b
-    orientation, the standard bound; orienting by degree-rank instead
-    of id would tighten hub skew — documented refinement). The count
-    is a combiner sum; returns a 1-row Dataset (n_triangles)."""
+    normalized away). Two-join plan: orient every edge low→high by a
+    TOTAL node order, self-join on the source to form wedges (each
+    triangle appears as exactly ONE wedge, at its lowest-ranked
+    corner), then a composite-key hash join verifies the closing edge
+    — counted once, no division by 3/6.
+
+    ``orient`` (VERDICT r3 #6): the default ``"degree"`` ranks nodes
+    by (degree, id), so hubs sort LAST and every node's out-degree is
+    bounded by O(sqrt(|E|)) — wedge volume is O(|E|^1.5) even on
+    hub-skewed graphs (a star graph yields ZERO wedges instead of
+    O(d²)). Costs one extra degree groupby + two degree-attach joins
+    over the plain ``"id"`` orientation (kept for parity testing).
+    Returns a 1-row Dataset (n_triangles; plus n_wedges when
+    ``with_wedges``)."""
 
     def canon(b: pa.Table) -> pa.Table:
         s = pc.cast(b[src], pa.int64())
@@ -2006,54 +2030,183 @@ def triangle_count(
             {"a": pc.min_element_wise(s, d), "b": pc.max_element_wise(s, d)}
         )
 
+    nparts = num_partitions or default_join_partitions()
     e = drop_empty_blocks(
         distinct(
             edges.map_batches(canon, batch_size=None, batch_format="pyarrow"),
             ["a", "b"],
         )
-    ).materialize()  # feeds three join sides
+    ).materialize()  # feeds the degree pass + three join sides
 
-    e2 = e.map_batches(
-        lambda t: pa.table({"a2": t["a"], "b2": t["b"]}),
-        batch_size=None,
-        batch_format="pyarrow",
-    )
-    wedges = normalize_blocks(
-        hash_join(
-            e,
-            drop_empty_blocks(e2),
-            on=("b",),
-            right_on=("a2",),
-            num_partitions=num_partitions or default_join_partitions(),
-        ),
-        pa.schema([("a", pa.int64()), ("b", pa.int64()), ("b2", pa.int64())]),
-    ).map_batches(
-        lambda t: pa.table({"a": t["a"], "c": t["b2"]}),
-        batch_size=None,
-        batch_format="pyarrow",
-    )
-    closed = normalize_blocks(
-        hash_join(
-            drop_empty_blocks(wedges),
+    if orient == "degree":
+        # undirected degree per node: one combiner-bounded groupby
+        ends = e.map_batches(
+            lambda t: pa.table({"v": t["a"]}),
+            batch_size=None,
+            batch_format="pyarrow",
+        ).union(
             e.map_batches(
-                lambda t: pa.table({"ja": t["a"], "jc": t["b"]}),
+                lambda t: pa.table({"v": t["b"]}),
                 batch_size=None,
                 batch_format="pyarrow",
+            )
+        )
+        deg = drop_empty_blocks(
+            grouped_sum_count(ends, keys=["v"], sums=[], count_alias="deg")
+        ).materialize()  # consumed by two attach joins
+        ea = normalize_blocks(
+            hash_join(
+                e,
+                deg.map_batches(
+                    lambda t: pa.table({"va": t["v"], "da": t["deg"]}),
+                    batch_size=None,
+                    batch_format="pyarrow",
+                ),
+                on=("a",),
+                right_on=("va",),
+                num_partitions=nparts,
             ),
-            on=("a", "c"),
-            right_on=("ja", "jc"),
-            num_partitions=num_partitions or default_join_partitions(),
-        ),
-        pa.schema([("a", pa.int64()), ("c", pa.int64())]),
-    )
-    counted = closed.map_batches(
-        lambda t: pa.table({"n": pa.array([t.num_rows], pa.int64())}),
-        batch_size=None,
-        batch_format="pyarrow",
-    )
-    total = counted.sum("n")  # None only if closed had zero blocks
+            pa.schema(
+                [("a", pa.int64()), ("b", pa.int64()), ("da", pa.int64())]
+            ),
+        )
+        eab = normalize_blocks(
+            hash_join(
+                drop_empty_blocks(ea),
+                deg.map_batches(
+                    lambda t: pa.table({"vb": t["v"], "db": t["deg"]}),
+                    batch_size=None,
+                    batch_format="pyarrow",
+                ),
+                on=("b",),
+                right_on=("vb",),
+                num_partitions=nparts,
+            ),
+            pa.schema(
+                [
+                    ("a", pa.int64()),
+                    ("b", pa.int64()),
+                    ("da", pa.int64()),
+                    ("db", pa.int64()),
+                ]
+            ),
+        )
+
+        def orient_deg(t: pa.Table) -> pa.Table:
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            da = t["da"].to_numpy(zero_copy_only=False)
+            db = t["db"].to_numpy(zero_copy_only=False)
+            a_first = (da < db) | ((da == db) & (a < b))
+            return pa.table(
+                {
+                    "u": pa.array(np.where(a_first, a, b), pa.int64()),
+                    "v": pa.array(np.where(a_first, b, a), pa.int64()),
+                    "dv": pa.array(np.where(a_first, db, da), pa.int64()),
+                }
+            )
+
+        oriented = drop_empty_blocks(
+            eab.map_batches(
+                orient_deg, batch_size=None, batch_format="pyarrow"
+            )
+        ).materialize()
+
+        def rank_lt(t: pa.Table) -> pa.Table:
+            # keep wedge pairs with rank(v) < rank(w) under (deg, id)
+            keep = pc.or_(
+                pc.less(t["dv"], t["dw"]),
+                pc.and_(pc.equal(t["dv"], t["dw"]), pc.less(t["v"], t["w"])),
+            )
+            f = t.filter(keep)
+            return pa.table({"a": f["v"], "c": f["w"]})
+
+        wedges = normalize_blocks(
+            hash_join(
+                oriented,
+                oriented.map_batches(
+                    lambda t: pa.table(
+                        {"u2": t["u"], "w": t["v"], "dw": t["dv"]}
+                    ),
+                    batch_size=None,
+                    batch_format="pyarrow",
+                ),
+                on=("u",),
+                right_on=("u2",),
+                num_partitions=nparts,
+            ),
+            pa.schema(
+                [
+                    ("u", pa.int64()),
+                    ("v", pa.int64()),
+                    ("dv", pa.int64()),
+                    ("w", pa.int64()),
+                    ("dw", pa.int64()),
+                ]
+            ),
+        ).map_batches(rank_lt, batch_size=None, batch_format="pyarrow")
+        close_right = oriented.map_batches(
+            lambda t: pa.table({"ja": t["u"], "jc": t["v"]}),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+    else:  # orient == "id": legacy a<b orientation (parity baseline)
+        wedges = normalize_blocks(
+            hash_join(
+                e,
+                e.map_batches(
+                    lambda t: pa.table({"a2": t["a"], "b2": t["b"]}),
+                    batch_size=None,
+                    batch_format="pyarrow",
+                ),
+                on=("b",),
+                right_on=("a2",),
+                num_partitions=nparts,
+            ),
+            pa.schema(
+                [("a", pa.int64()), ("b", pa.int64()), ("b2", pa.int64())]
+            ),
+        ).map_batches(
+            lambda t: pa.table({"a": t["a"], "c": t["b2"]}),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+        close_right = e.map_batches(
+            lambda t: pa.table({"ja": t["a"], "jc": t["b"]}),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+
+    # drop_empty_blocks materializes, so the count below is
+    # metadata-only. The rank filter can leave ZERO wedges total (e.g.
+    # a star graph under degree orientation) and Ray 2.49's hash join
+    # cannot take a fully-empty side (every partition would finalize
+    # zero-column) — short-circuit instead of joining.
+    wedge_schema = pa.schema([("a", pa.int64()), ("c", pa.int64())])
+    wedges = drop_empty_blocks(wedges, empty_schema=wedge_schema)
+    n_wedges = wedges.count()
+    if n_wedges == 0:
+        total = 0
+    else:
+        closed = normalize_blocks(
+            hash_join(
+                wedges,
+                close_right,
+                on=("a", "c"),
+                right_on=("ja", "jc"),
+                num_partitions=nparts,
+            ),
+            pa.schema([("a", pa.int64()), ("c", pa.int64())]),
+        )
+        counted = closed.map_batches(
+            lambda t: pa.table({"n": pa.array([t.num_rows], pa.int64())}),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+        total = counted.sum("n")  # None only if closed had zero blocks
     import ray.data as _rd
 
-    return _rd.from_arrow(
-        pa.table({"n_triangles": pa.array([int(total or 0)], pa.int64())})
-    )
+    cols = {"n_triangles": pa.array([int(total or 0)], pa.int64())}
+    if with_wedges:
+        cols["n_wedges"] = pa.array([int(n_wedges)], pa.int64())
+    return _rd.from_arrow(pa.table(cols))

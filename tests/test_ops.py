@@ -596,3 +596,63 @@ def test_drop_empty_blocks_public_fallback(ray_session):
     finally:
         ops._FORCE_PUBLIC_DROP_EMPTY = False
     assert len(base) > 0
+
+
+def test_triangle_degree_orientation_star(ray_session):
+    """VERDICT r3 #6: on a hub-skewed star graph the degree-rank
+    orientation produces ZERO wedges (every edge points leaf->hub, all
+    out-degrees are 1) while the legacy id orientation fans out O(d^2)
+    wedges at the hub. Both count the same (zero) triangles."""
+    from kgray import ops
+
+    # hub id 60 in the MIDDLE of the leaf id range: under the legacy
+    # a<b orientation the hub is upper endpoint for 60 edges and lower
+    # for 60, fanning out 60*60 wedges at the hub; under degree rank
+    # the hub sorts last, every edge points leaf->hub, zero wedges.
+    hub, leaves = 60, [i for i in range(121) if i != 60]
+    t = pa.table(
+        {
+            "src": pa.array([hub] * len(leaves), pa.int64()),
+            "dst": pa.array(leaves, pa.int64()),
+        }
+    )
+    edges = ray.data.from_arrow(t)
+    by_deg = ops.triangle_count(edges, with_wedges=True).to_pandas()
+    by_id = ops.triangle_count(
+        edges, orient="id", with_wedges=True
+    ).to_pandas()
+    assert int(by_deg["n_triangles"].iloc[0]) == 0
+    assert int(by_id["n_triangles"].iloc[0]) == 0
+    assert int(by_deg["n_wedges"].iloc[0]) == 0
+    assert int(by_id["n_wedges"].iloc[0]) == 60 * 60
+
+
+def test_triangle_orientation_parity_random(ray_session):
+    """Degree and id orientations agree with a brute-force triangle
+    count on a random graph (including hub skew + ties in degree)."""
+    import itertools
+
+    import numpy as np
+
+    from kgray import ops
+
+    rng = np.random.default_rng(7)
+    m = 300
+    a = rng.integers(0, 40, m)
+    b = rng.integers(0, 40, m)
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(a, pa.int64()), "dst": pa.array(b, pa.int64())})
+    )
+    und = {tuple(sorted(p)) for p in zip(a.tolist(), b.tolist()) if p[0] != p[1]}
+    adj = {}
+    for x, y in und:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    want = sum(
+        1
+        for x, y, z in itertools.combinations(sorted(adj), 3)
+        if y in adj[x] and z in adj[x] and z in adj[y]
+    )
+    got_deg = ops.triangle_count(edges).to_pandas()["n_triangles"].iloc[0]
+    got_id = ops.triangle_count(edges, orient="id").to_pandas()["n_triangles"].iloc[0]
+    assert int(got_deg) == want == int(got_id)
