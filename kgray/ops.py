@@ -352,39 +352,60 @@ def asof_join(
     the key -> per-key pandas merge_asof over the sorted group. The
     partitioning assumption: a single key's rows fit one worker (true
     for per-user/per-entity event streams; salt the key upstream if a
-    single entity's history is outsized)."""
+    single entity's history is outsized). The map-side preps are
+    zero-copy Arrow column ops (VERDICT r3 #8) — pandas appears only
+    inside the bounded per-key merges."""
     import pandas as pd
 
-    lcols = [c for c in left.schema().names]
-    rcols = [c for c in right.schema().names]
+    lsch, rsch = left.schema(), right.schema()
+    lcols = list(lsch.names)
+    rcols = list(rsch.names)
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = dict(zip(rsch.names, rsch.types))
     # align schemas: left keeps its columns; right's non-key/ts columns
-    # are carried through with a suffix (pandas per batch for the union)
+    # are carried through with a suffix; the tagged union shares ONE
+    # column layout: [key, ts] + lrest + rsuf + [_side]
     rv = [c for c in rcols if c not in (key, ts)]
-
-    def prep_l(df):
-        for c in rv:
-            df[f"{c}{right_suffix}"] = None
-        df["_side"] = np.int8(0)
-        return df
-
-    def prep_r(df):
-        res = df[[key, ts]].copy()
-        for c in rv:
-            res[f"{c}{right_suffix}"] = df[c]
-        for c in lcols:
-            if c not in (key, ts):
-                res[c] = None
-        res["_side"] = np.int8(1)
-        return res
-
-    lt = left.map_batches(prep_l, batch_format="pandas")
-    rt = right.map_batches(prep_r, batch_format="pandas")
-    both = lt.union(rt)
-
     rsuf = [f"{c}{right_suffix}" for c in rv]
     lrest = [c for c in lcols if c not in (key, ts)]
 
+    def prep_l(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {key: t[key], ts: t[ts]}
+        for c in lrest:
+            cols[c] = t[c]
+        for c in rv:
+            cols[f"{c}{right_suffix}"] = pa.nulls(n, rtypes[c])
+        cols["_side"] = pa.array(np.zeros(n, np.int8))
+        return pa.table(cols)
+
+    def prep_r(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {key: t[key], ts: t[ts]}
+        for c in lrest:
+            cols[c] = pa.nulls(n, ltypes[c])
+        for c in rv:
+            cols[f"{c}{right_suffix}"] = t[c]
+        cols["_side"] = pa.array(np.ones(n, np.int8))
+        return pa.table(cols)
+
+    lt = left.map_batches(prep_l, batch_size=None, batch_format="pyarrow")
+    rt = right.map_batches(prep_r, batch_size=None, batch_format="pyarrow")
+    both = lt.union(rt)
+
     merged_cols = [key, ts] + lrest + [f"{ts}{right_suffix}"] + rsuf
+    # output rows are ALL left rows, so left columns are never null in
+    # the result — undo the float64 coercion the padded nulls caused
+    # during the group's arrow->pandas conversion
+    l_pd = {c: ltypes[c].to_pandas_dtype() for c in lrest}
+
+    def _restore_left_dtypes(df: pd.DataFrame) -> pd.DataFrame:
+        for c in lrest:
+            try:
+                df[c] = df[c].astype(l_pd[c])
+            except (ValueError, TypeError):
+                pass  # genuine nulls in the left input: keep as-is
+        return df
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == 0].sort_values(ts, kind="mergesort")
@@ -393,7 +414,8 @@ def asof_join(
             # emit the exact merged output schema (merge_asof's column
             # set) so group-output schemas never drift between empty
             # and non-empty key groups
-            dtypes = {c: g[c].dtype for c in [key, ts] + lrest + rsuf}
+            dtypes = {c: g[c].dtype for c in [key, ts] + rsuf}
+            dtypes.update(l_pd)
             dtypes[f"{ts}{right_suffix}"] = g[ts].dtype
             return pd.DataFrame(columns=merged_cols).astype(dtypes)
         l_part = lg[[key, ts] + lrest]
@@ -405,7 +427,7 @@ def asof_join(
             right_on=f"{ts}{right_suffix}",
             direction=direction,
         )
-        return merged
+        return _restore_left_dtypes(merged)
 
     return both.groupby(key).map_groups(per_key, batch_format="pandas")
 
@@ -434,39 +456,50 @@ def asof_join_salted(
     uniqueness convention on (key, ts) ties as merge_asof."""
     import pandas as pd
 
-    lcols = list(left.schema().names)
-    rcols = list(right.schema().names)
+    lsch, rsch = left.schema(), right.schema()
+    lcols = list(lsch.names)
+    rcols = list(rsch.names)
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = dict(zip(rsch.names, rsch.types))
     rv = [c for c in rcols if c not in (key, ts)]
     rsuf = [f"{c}{right_suffix}" for c in rv]
     lrest = [c for c in lcols if c not in (key, ts)]
     usec = int(bucket_seconds * 1_000_000)
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_bkt"] = df[ts].astype("int64") // usec
-        return df
+    def _bucket_of(t: pa.Table) -> pa.Array:
+        # epoch-us // bucket width (ts is timestamp[us]; int64 cast is
+        # the epoch value in the column's own unit)
+        e = pc.cast(pc.cast(t[ts], pa.timestamp("us")), pa.int64())
+        return pc.divide(e, usec)
 
     # side 0 = left row, 1 = in-bucket right row; carries become side 1
     # rows re-tagged into a later bucket (their ts precedes everything
-    # in that bucket by construction)
-    def prep_l(df: pd.DataFrame) -> pd.DataFrame:
-        df = add_bucket(df)
-        for c in rv:
-            df[f"{c}{right_suffix}"] = None
-        df["_side"] = np.int8(0)
-        return df
-
-    def prep_r(df: pd.DataFrame) -> pd.DataFrame:
-        res = add_bucket(df[[key, ts]].copy())
-        for c in rv:
-            res[f"{c}{right_suffix}"] = df[c].to_numpy()
+    # in that bucket by construction). Map-side preps are Arrow column
+    # ops (VERDICT r3 #8); both sides share ONE column layout.
+    def prep_l(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {key: t[key], ts: t[ts]}
         for c in lrest:
-            res[c] = None
-        res["_side"] = np.int8(1)
-        return res
+            cols[c] = t[c]
+        for c in rv:
+            cols[f"{c}{right_suffix}"] = pa.nulls(n, rtypes[c])
+        cols["_bkt"] = _bucket_of(t)
+        cols["_side"] = pa.array(np.zeros(n, np.int8))
+        return pa.table(cols)
 
-    lt = left.map_batches(prep_l, batch_format="pandas")
-    rt = right.map_batches(prep_r, batch_format="pandas")
+    def prep_r(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {key: t[key], ts: t[ts]}
+        for c in lrest:
+            cols[c] = pa.nulls(n, ltypes[c])
+        for c in rv:
+            cols[f"{c}{right_suffix}"] = t[c]
+        cols["_bkt"] = _bucket_of(t)
+        cols["_side"] = pa.array(np.ones(n, np.int8))
+        return pa.table(cols)
+
+    lt = left.map_batches(prep_l, batch_size=None, batch_format="pyarrow")
+    rt = right.map_batches(prep_r, batch_size=None, batch_format="pyarrow")
 
     # per-(key, bucket) LAST right row (merge_asof's pick among ties:
     # the last in stable ts order) — one row per active right bucket
@@ -476,13 +509,14 @@ def asof_join_salted(
 
     r_last = rt.groupby([key, "_bkt"]).map_groups(last_per_bucket, batch_format="pandas")
 
-    # left-active buckets per key (bounded by left rows, one row each)
-    def lb_partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[[key, "_bkt"]].drop_duplicates()
-        return out
+    # left-active buckets per key (bounded by left rows, one row each);
+    # per-batch Arrow group_by is the map-side combiner
+    def lb_partial(t: pa.Table) -> pa.Table:
+        return t.select([key, "_bkt"]).group_by([key, "_bkt"]).aggregate([])
 
     l_buckets = distinct(
-        lt.map_batches(lb_partial, batch_format="pandas"), [key, "_bkt"]
+        lt.map_batches(lb_partial, batch_size=None, batch_format="pyarrow"),
+        [key, "_bkt"],
     )
 
     # per key: forward-carry each bucket's last right row into every
@@ -520,34 +554,56 @@ def asof_join_salted(
 
     carry = lb_t.union(rl_t).groupby(key).map_groups(carries, batch_format="pandas")
 
-    def carry_to_side(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df[ts] = df[ts].astype("datetime64[us]")
+    def carry_to_side(df: pd.DataFrame) -> pa.Table:
+        # bounded input (one row per left-active bucket); emit the SAME
+        # Arrow layout as lt/rt — a union may not mix block formats
+        n = len(df)
+        cols = {
+            key: pa.Array.from_pandas(df[key], type=ltypes[key]),
+            ts: pa.Array.from_pandas(
+                df[ts].astype("datetime64[us]"), type=ltypes[ts]
+            ),
+        }
         for c in lrest:
-            df[c] = None
-        df["_side"] = np.int8(1)
-        return df
+            cols[c] = pa.nulls(n, ltypes[c])
+        for c in rv:
+            cols[f"{c}{right_suffix}"] = pa.Array.from_pandas(
+                df[f"{c}{right_suffix}"], type=rtypes[c]
+            )
+        cols["_bkt"] = pa.Array.from_pandas(df["_bkt"], type=pa.int64())
+        cols["_side"] = pa.array(np.ones(n, np.int8))
+        return pa.table(cols)
 
-    both = lt.union(rt).union(carry.map_batches(carry_to_side, batch_format="pandas"))
+    both = lt.union(rt).union(
+        carry.map_batches(carry_to_side, batch_format="pandas")
+    )
 
     merged_cols = [key, ts] + lrest + [f"{ts}{right_suffix}"] + rsuf
+    l_pd = {c: ltypes[c].to_pandas_dtype() for c in lrest}
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == 0].sort_values(ts, kind="mergesort")
         rg = g[g["_side"] == 1].sort_values(ts, kind="mergesort")
         if len(lg) == 0:
-            dtypes = {c: g[c].dtype for c in [key, ts] + lrest + rsuf}
+            dtypes = {c: g[c].dtype for c in [key, ts] + rsuf}
+            dtypes.update(l_pd)
             dtypes[f"{ts}{right_suffix}"] = g[ts].dtype
             return pd.DataFrame(columns=merged_cols).astype(dtypes)
         l_part = lg[[key, ts] + lrest]
         r_part = rg[[ts] + rsuf].rename(columns={ts: f"{ts}{right_suffix}"})
-        return pd.merge_asof(
+        merged = pd.merge_asof(
             l_part,
             r_part,
             left_on=ts,
             right_on=f"{ts}{right_suffix}",
             direction="backward",
         )
+        for c in lrest:  # output rows are all left rows: undo the
+            try:  # padded-null float64 coercion (parity with asof_join)
+                merged[c] = merged[c].astype(l_pd[c])
+            except (ValueError, TypeError):
+                pass
+        return merged
 
     return both.groupby([key, "_bkt"]).map_groups(per_group, batch_format="pandas")
 
