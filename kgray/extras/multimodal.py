@@ -90,7 +90,9 @@ class ImageFeaturizer:
         for blob, fmt in zip(blobs, fmts):
             try:
                 img = decode_image(blob, fmt)
-            except NotImplementedError:
+            except (NotImplementedError, ValueError):
+                # unknown format OR truncated blob (short payload
+                # raises ValueError in the reshape)
                 feats.append([0.0] * self.proj.shape[1])
                 ok.append(False)
                 continue
@@ -254,10 +256,12 @@ def sample_frames(ds: Dataset, stride: int = 4) -> Dataset:
         for vid, blob in zip(
             batch["vid_id"].to_pylist(), batch["video"].to_pylist()
         ):
-            if not blob or blob[:4] != VMAGIC:
+            if not blob or len(blob) < 20 or blob[:4] != VMAGIC:
                 continue
             nf, w, h, c = struct.unpack(">IIII", blob[4:20])
             fb = w * h * c
+            if len(blob) < 20 + nf * fb:
+                continue  # truncated payload: skip, never slice short
             for j in range(0, nf, stride):
                 frame = blob[20 + j * fb : 20 + (j + 1) * fb]
                 out_v.append(vid)
@@ -294,7 +298,10 @@ def resize_images(ds: Dataset, out_w: int, out_h: int) -> Dataset:
         for blob in batch["image"].to_pylist():
             try:
                 img = decode_image(blob, "kgim")
-            except NotImplementedError:
+            except (NotImplementedError, ValueError):
+                # unknown format OR truncated/corrupt blob (short
+                # payload makes the reshape raise ValueError): pass
+                # through with ok=false, never crash the task
                 out.append(blob)
                 ok.append(False)
                 continue

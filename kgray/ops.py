@@ -1345,10 +1345,15 @@ def bloom_build(
 
     acc = np.zeros(nwords, dtype=np.uint64)
     parts = keys_ds.map_batches(partial, batch_size=None, batch_format="pyarrow")
-    for t in _ray.get(parts.to_arrow_refs()):
+    # ray.get ONE partial at a time so driver residency stays at a
+    # single bitmap (ADVICE r3: getting all refs at once made transient
+    # memory O(num_blocks * m_bits/8) on wide inputs)
+    for ref in parts.to_arrow_refs():
+        t = _ray.get(ref)
         if t is not None and t.num_rows:
             for buf in t["bloom"].to_pylist():
-                acc = acc | np.frombuffer(buf, dtype=np.uint64)
+                acc |= np.frombuffer(buf, dtype=np.uint64)
+        del t
     return acc
 
 
@@ -1504,12 +1509,15 @@ def exact_heavy_hitters(
         )
         bn = np.zeros(len(top) + 1, dtype=np.int64)
         bn[-1] = b.num_rows
-        return pa.table({"v": vals, "bn": pa.array(bn)})
+        tr = np.zeros(len(top) + 1, dtype=np.int64)
+        tr[-1] = int(g.num_rows > sketch_k)  # did this block truncate?
+        return pa.table({"v": vals, "bn": pa.array(bn), "tr": pa.array(tr)})
 
     pass1 = ds.map_batches(
         block_top, batch_size=None, batch_format="pyarrow"
     ).materialize()  # bounded: blocks x (sketch_k + 1) rows
     total = int(pass1.sum("bn"))
+    truncated = int(pass1.sum("tr") or 0) > 0
     vtype = pass1.schema().base_schema.field("v").type  # materialized: no exec
     cand = set(
         _drop_null_keys(pass1.select_columns(["v"]), "v").unique("v")
@@ -1529,12 +1537,18 @@ def exact_heavy_hitters(
         topk(counts, [count_alias, col], k, descending=[True, False]),
         pa.schema([(col, vtype), (count_alias, pa.int64())]),
     )
-    kth = int(top[count_alias][-1].as_py()) if top.num_rows == k else 1
-    if kth * sketch_k <= total and not (top.num_rows < k and total < sketch_k):
-        raise ValueError(
-            f"exact_heavy_hitters guarantee void: kth count {kth} <= "
-            f"total/sketch_k = {total}/{sketch_k}; widen sketch_k"
-        )
+    # If NO block ever truncated its in-block top list, the candidate
+    # union is the complete value domain and the top-k is exact by
+    # construction — the n/sketch_k bound is irrelevant (ADVICE r3:
+    # previously this fired spuriously on small domains where kth
+    # defaulted to 1).
+    if truncated:
+        kth = int(top[count_alias][-1].as_py()) if top.num_rows == k else 1
+        if kth * sketch_k <= total:
+            raise ValueError(
+                f"exact_heavy_hitters guarantee void: kth count {kth} <= "
+                f"total/sketch_k = {total}/{sketch_k}; widen sketch_k"
+            )
     return top
 
 

@@ -6355,14 +6355,16 @@ def q_cross_source_grams(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
 
     def grams(b: pa.Table) -> pa.Table:
-        g = _gram_batch(b)  # (doc_id, gram) all occurrences
+        g = _gram_batch(b, k=DECON_K)  # (doc_id, gram) all occurrences
         # ride source through by doc position: _gram_batch repeats
-        # doc rows in order, so rebuild the source column the same way
+        # doc rows in order, so rebuild the source column the same way;
+        # the k passed above and the repeat arithmetic below MUST stay
+        # coupled (ADVICE r3) — m = n_tokens - (k - 1) grams per doc
         import numpy as _np
 
         toks = pc.split_pattern(b["text"].combine_chunks(), " ")
         offs = toks.offsets.to_numpy().astype(_np.int64)
-        m = _np.maximum(_np.diff(offs) - 3, 0)
+        m = _np.maximum(_np.diff(offs) - (DECON_K - 1), 0)
         src = pa.array(
             _np.repeat(b["source"].combine_chunks().to_numpy(zero_copy_only=False), m)
         )

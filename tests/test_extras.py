@@ -516,3 +516,54 @@ def test_knn_graph_matches_sequential_twin(ray_session):
             .sort_values(["query_id", "rn"], ignore_index=True)
         )
         pd.testing.assert_frame_equal(got, want), nblocks
+
+
+def test_multimodal_corrupt_blobs_never_raise(ray_session):
+    """ADVICE r3: truncated/corrupt blobs follow the M2 never-raise
+    error-column convention — resize_images sets resize_ok=false, the
+    featurizer sets decode_ok=false, sample_frames skips short videos
+    instead of slicing short frames."""
+    import struct
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray.extras import multimodal as mm
+
+    good = mm.make_image_table(2)
+    trunc = mm.MAGIC + struct.pack(">III", 16, 16, 3) + b"\x00" * 10
+    t = pa.table(
+        {
+            "img_id": pa.array([0, 1, 2], pa.int64()),
+            "image": pa.array(
+                [good["image"][0].as_py(), trunc, b"\x89PNGnope"], pa.binary()
+            ),
+            "format": pa.array(["kgim", "kgim", "png"]),
+        }
+    )
+    ds = rd.from_arrow(t)
+    rz = mm.resize_images(ds, 4, 4).to_pandas().sort_values("img_id")
+    assert rz["resize_ok"].tolist() == [True, False, False]
+    ft = (
+        ds.map_batches(
+            mm.ImageFeaturizer,
+            concurrency=1,
+            batch_size=8,
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("img_id")
+    )
+    assert ft["decode_ok"].tolist() == [True, False, False]
+
+    vgood = mm.make_video_table(1)
+    vtrunc = mm.VMAGIC + struct.pack(">IIII", 4, 8, 8, 3) + b"\x00" * 5
+    vt = pa.table(
+        {
+            "vid_id": pa.array([0, 1], pa.int64()),
+            "video": pa.array([vgood["video"][0].as_py(), vtrunc], pa.binary()),
+        }
+    )
+    frames = mm.sample_frames(rd.from_arrow(vt)).to_pandas()
+    assert set(frames["vid_id"]) == {0}  # truncated video skipped
+    assert len(frames) > 0

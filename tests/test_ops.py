@@ -318,6 +318,17 @@ def test_exact_heavy_hitters(ray_session):
             rd.from_arrow(uni).repartition(4), "v", 10, sketch_k=2
         )
 
+    # ADVICE r3: when no block ever truncates (domain < sketch_k) the
+    # candidate set is the FULL domain and the result is provably
+    # exact — must NOT void the guarantee, even with total >= sketch_k
+    # and fewer than k distinct values (kth used to default to 1)
+    small = pa.table({"v": pa.array([f"s{i % 3}" for i in range(100)])})
+    got = ops.exact_heavy_hitters(
+        rd.from_arrow(small).repartition(4), "v", 10, sketch_k=8
+    ).to_pandas()
+    assert sorted(got["v"]) == ["s0", "s1", "s2"]
+    assert got["n"].sum() == 100
+
 
 def test_binary_files_source(ray_session, tmp_path):
     """S8: multimodal ingest via read_binary_files — KGIM blobs
