@@ -192,6 +192,127 @@ def kmeans_assign(
     return ds.map_batches(_a, batch_format="pyarrow")
 
 
+SPLIT_BASE = 1 << 20  # composite sub-cell label: (cell+1)*BASE + sub
+SPLIT_SEED_MIX = 1000003  # sub-Lloyd seed = seed*MIX + cell + 1
+# split rounds are depth-limited so composite labels stay inside
+# int64: labels grow a factor <= 2^20 per round ((c+1)*BASE + sub),
+# so after 2 rounds labels are < ~2^61. Identical-vector cells that a
+# Lloyd cannot separate stop here instead of looping forever.
+SPLIT_MAX_DEPTH = 2
+
+
+def _unpack_assigned(batch: pa.Table) -> pa.Table:
+    """(vec_id, cell, qvec) -> (vec_id, embedding): DEQUANTIZED from
+    the packed int64 grid. Idempotent with the quantizer (re-quantizing
+    reproduces Q bit-exactly, |Q| << 2^53), so a sub-Lloyd over the
+    unpacked vectors equals one over the original embeddings."""
+    raw = batch["qvec"].to_pylist()
+    if not raw:
+        return pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float64())),
+            }
+        )
+    Q = np.frombuffer(b"".join(raw), dtype=np.int64).reshape(len(raw), -1)
+    V = _deq(Q)
+    emb = pa.FixedSizeListArray.from_arrays(
+        pa.array(V.reshape(-1)), V.shape[1]
+    )
+    return pa.table({"vec_id": batch["vec_id"], "embedding": emb})
+
+
+def assign_with_split(
+    ds: Dataset,
+    vec_col: str,
+    id_col: str,
+    *,
+    k: int,
+    iters: int,
+    seed: int,
+    max_cell_rows: int | None,
+) -> Dataset:
+    """Cluster assignment with the OVERSIZED-CELL SPLIT (VERDICT r3
+    #5): after the top-level Lloyd, any cell holding more than
+    `max_cell_rows` rows is re-clustered by a second, deterministically
+    re-seeded Lloyd over just that cell (k_sub = ceil(n_c /
+    max_cell_rows)), and its rows get composite labels
+    (cell+1)*SPLIT_BASE + sub_cell. Downstream per-cell group work
+    (semdedup greedy, in-cell kNN) is then bounded by ~max_cell_rows
+    per worker even when one k-means cell captures most of the corpus.
+    Splitting recurses up to SPLIT_MAX_DEPTH rounds (a round-1
+    sub-cell that still exceeds the bound is split again); `None`
+    disables splitting (the SemDeDup-paper sizing rule: choose k so
+    corpus/k fits a worker). Mirrored row-for-row by the sequential
+    twin (reference_impl/sketch.py), which the parity tests compare
+    against. Returns (vec_id, cell, qvec)."""
+    import pyarrow.compute as pc
+
+    cents = kmeans_fit(ds, vec_col, id_col, k=k, iters=iters, seed=seed)
+    assigned = kmeans_assign(ds, cents, vec_col, id_col, keep_vec=True)
+    if max_cell_rows is None:
+        return assigned
+    assigned = assigned.materialize()  # consumed once per piece below
+    for _depth in range(SPLIT_MAX_DEPTH):
+        counts = {
+            int(r["cell"]): int(r["count()"])
+            for r in assigned.groupby("cell").count().take_all()
+        }  # <= (labels) rows on the driver, bounded by k * BASE fanout
+        oversized = sorted(
+            c for c, n in counts.items() if n > max_cell_rows
+        )
+        if not oversized:
+            break
+        ovs = pa.array(oversized, pa.int64())
+        pieces = [
+            assigned.map_batches(
+                lambda b, ovs=ovs: b.filter(
+                    pc.invert(pc.is_in(b["cell"], value_set=ovs))
+                ),
+                batch_size=None,
+                batch_format="pyarrow",
+            )
+        ]
+        for c in oversized:
+            sub_src = assigned.map_batches(
+                lambda b, c=c: _unpack_assigned(
+                    b.filter(pc.equal(b["cell"], c))
+                ),
+                batch_size=None,
+                batch_format="pyarrow",
+            ).materialize()  # the sub-Lloyd consumes it iters+2 times
+            k_sub = -(-counts[c] // max_cell_rows)
+            sub_seed = seed * SPLIT_SEED_MIX + c + 1
+            sc = kmeans_fit(
+                sub_src, "embedding", "vec_id", k=k_sub, iters=iters,
+                seed=sub_seed,
+            )
+            sa = kmeans_assign(
+                sub_src, sc, "embedding", "vec_id", keep_vec=True
+            )
+            base = (c + 1) * SPLIT_BASE
+            pieces.append(
+                sa.map_batches(
+                    lambda b, base=base: pa.table(
+                        {
+                            "vec_id": b["vec_id"],
+                            "cell": pc.add(
+                                b["cell"], pa.scalar(base, pa.int64())
+                            ),
+                            "qvec": b["qvec"],
+                        }
+                    ),
+                    batch_size=None,
+                    batch_format="pyarrow",
+                )
+            )
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.union(p)
+        assigned = out.materialize()
+    return assigned
+
+
 def _greedy_keep(Q: np.ndarray, theta: float) -> np.ndarray:
     """SemDeDup greedy inside one cluster, rows already in id order:
     keep a row unless its cosine to any ALREADY-KEPT row >= theta.
@@ -219,14 +340,20 @@ def semdedup(
     iters: int = 8,
     theta: float = 0.35,
     seed: int = KMEANS_SEED,
+    max_cell_rows: int | None = None,
 ) -> Dataset:
     """Semantic near-dedup (SemDeDup): k-means the corpus, then per
     cluster greedily keep only vectors whose cosine to every
     already-kept vector (in ascending id order) is below `theta`.
     Returns the KEPT (vec_id, cell) rows. The greedy pass runs inside
-    `groupby(cell).map_groups` — one cluster per task."""
-    cents = kmeans_fit(ds, vec_col, id_col, k=k, iters=iters, seed=seed)
-    assigned = kmeans_assign(ds, cents, vec_col, id_col, keep_vec=True)
+    `groupby(cell).map_groups` — one cluster per task.
+    `max_cell_rows` bounds the per-worker group via the oversized-cell
+    split (see `assign_with_split`); the greedy then runs per
+    sub-cell."""
+    assigned = assign_with_split(
+        ds, vec_col, id_col, k=k, iters=iters, seed=seed,
+        max_cell_rows=max_cell_rows,
+    )
 
     def per_cell(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy().astype(np.int64)
@@ -254,6 +381,7 @@ def knn_graph(
     k: int = 10,
     iters: int = 8,
     seed: int = KMEANS_SEED,
+    max_cell_rows: int | None = None,
 ) -> Dataset:
     """Approximate kNN-graph construction (every vector's top
     `k_neighbors` cosine neighbors searched WITHIN its k-means cell —
@@ -264,9 +392,13 @@ def knn_graph(
     neighbor order (round(cos, 4) desc, id asc). Singleton cells emit
     no rows. Partitioning assumption as semdedup: one cell per worker
     (choose k so corpus/k fits); output is (query_id, neighbor_id,
-    rn) with rn 1..k_neighbors."""
-    cents = kmeans_fit(ds, vec_col, id_col, k=k, iters=iters, seed=seed)
-    assigned = kmeans_assign(ds, cents, vec_col, id_col, keep_vec=True)
+    rn) with rn 1..k_neighbors; `max_cell_rows` bounds the per-worker
+    group via the oversized-cell split (neighbors then searched within
+    the SUB-cell — the standard IVF-style recall/size trade)."""
+    assigned = assign_with_split(
+        ds, vec_col, id_col, k=k, iters=iters, seed=seed,
+        max_cell_rows=max_cell_rows,
+    )
 
     def per_cell(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy().astype(np.int64)

@@ -455,6 +455,50 @@ def _km_setup(
     return ids, Q, V, cells
 
 
+KM_SPLIT_BASE = 1 << 20  # = kgray.extras.cluster.SPLIT_BASE
+KM_SPLIT_SEED_MIX = 1000003  # = kgray.extras.cluster.SPLIT_SEED_MIX
+KM_SPLIT_MAX_DEPTH = 2  # = kgray.extras.cluster.SPLIT_MAX_DEPTH
+
+
+def _km_cells_split(
+    table: pa.Table,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    iters: int,
+    seed: int,
+    max_cell_rows: int | None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Sequential twin of cluster.assign_with_split: top-level Lloyd,
+    then up to KM_SPLIT_MAX_DEPTH rounds in which every cell holding
+    more than max_cell_rows rows is re-clustered by a fresh Lloyd
+    (k_sub = ceil(n_c/max_cell_rows), seed = seed*MIX + cell + 1) and
+    relabelled (cell+1)*BASE + sub. Identical constants to the
+    engine."""
+    ids, Q, V, cells = _km_setup(table, vec_col, id_col, k, iters, seed)
+    if max_cell_rows is None:
+        return ids, Q, V, cells
+    cells = cells.copy()
+    for _depth in range(KM_SPLIT_MAX_DEPTH):
+        oversized = [
+            c
+            for c in sorted(set(int(x) for x in cells))
+            if (cells == c).sum() > max_cell_rows
+        ]
+        if not oversized:
+            break
+        for c in oversized:
+            pos = np.flatnonzero(cells == c)
+            k_sub = -(-len(pos) // max_cell_rows)
+            sub_seed = seed * KM_SPLIT_SEED_MIX + c + 1
+            sub_table = table.take(pa.array(pos))
+            _, _, _, sub_cells = _km_setup(
+                sub_table, vec_col, id_col, k_sub, iters, sub_seed
+            )
+            cells[pos] = (c + 1) * KM_SPLIT_BASE + sub_cells
+    return ids, Q, V, cells
+
+
 def run_kmeans(
     table: pa.Table,
     *,
@@ -485,13 +529,18 @@ def run_semdedup(
     iters: int = 8,
     theta: float = 0.35,
     seed: int = 11,
+    max_cell_rows: int | None = None,
 ) -> pa.Table:
     """Sequential reference of cluster.semdedup: per final cell, in
     ascending id order, keep a vector only if its float64 cosine to
     every already-kept vector in the cell is < theta (zero vectors
     have cosine 0 to everything). Output = kept (vec_id, cell),
-    sorted (cell, vec_id)."""
-    ids, _, V, cells = _km_setup(table, vec_col, id_col, k, iters, seed)
+    sorted (cell, vec_id). `max_cell_rows` applies the
+    oversized-cell split before the greedy (one Lloyd per split cell,
+    same constants as the engine)."""
+    ids, _, V, cells = _km_cells_split(
+        table, vec_col, id_col, k, iters, seed, max_cell_rows
+    )
     out_ids: list[int] = []
     out_cells: list[int] = []
     for c in sorted(set(int(x) for x in cells)):
@@ -524,14 +573,18 @@ def run_knn_graph(
     k: int = 10,
     iters: int = 8,
     seed: int = 11,
+    max_cell_rows: int | None = None,
 ) -> pa.Table:
     """Sequential reference of cluster.knn_graph: per final k-means
     cell, each vector's top `k_neighbors` cosine neighbors among the
     OTHER cell members, ordered (round(cos, 4) desc, id asc). Cosines
     in float64 on the dequantized grid; per-pair np.dot here vs the
     engine's one GEMM per cell — different accumulation shape, same
-    spec. Output sorted (query_id, rn)."""
-    ids, _, V, cells = _km_setup(table, vec_col, id_col, k, iters, seed)
+    spec. Output sorted (query_id, rn). `max_cell_rows` applies
+    the oversized-cell split first (same constants as the engine)."""
+    ids, _, V, cells = _km_cells_split(
+        table, vec_col, id_col, k, iters, seed, max_cell_rows
+    )
     out_q: list[int] = []
     out_n: list[int] = []
     out_r: list[int] = []
