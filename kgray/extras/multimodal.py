@@ -54,14 +54,163 @@ def make_image_table(n: int, seed: int = 42) -> pa.Table:
     )
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray / RGB / RGBA (8-bit)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb and pa_ <= pc_:
+        return a
+    return b if pb <= pc_ else c
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, c: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters (types 0-4: None, Sub, Up,
+    Average, Paeth; spec §9 'Filtering'). None/Up are vectorized; the
+    Sub/Average/Paeth recurrences are inherently sequential along the
+    scanline (each byte depends on the reconstructed byte bpp to its
+    left), so those run a per-byte loop — fixture-scale images only."""
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG: decompressed length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int32)
+        pos += stride
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft == 1:  # Sub
+            cur = line.copy()
+            for x in range(c, stride):
+                cur[x] = (cur[x] + cur[x - c]) & 0xFF
+        elif ft == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                a = int(cur[x - c]) if x >= c else 0
+                cur[x] = (cur[x] + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = int(cur[x - c]) if x >= c else 0
+                cc = int(prev[x - c]) if x >= c else 0
+                cur[x] = (cur[x] + _paeth(a, int(prev[x]), cc)) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, c)
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode (zlib inflate + filter reversal) to an
+    (h, w, c) uint8 array — closes the 'real codec' stub for the most
+    common format without new dependencies. Supports the baseline
+    profile: 8-bit depth, color types 0/2/6 (gray/RGB/RGBA),
+    non-interlaced; anything else raises NotImplementedError (palette,
+    16-bit, Adam7), malformed bytes raise ValueError."""
+    import zlib
+
+    if blob[:8] != PNG_SIG:
+        raise ValueError("PNG: bad signature")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(blob):
+        ln = int.from_bytes(blob[pos : pos + 4], "big")
+        tag = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("PNG: truncated chunk")
+        pos += 12 + ln  # length + tag + data + crc
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("PNG: missing IHDR/IDAT")
+    w, h = struct.unpack(">II", ihdr[:8])
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG: unsupported depth/color (depth={depth}, type={ctype})"
+        )
+    if comp or filt or interlace:
+        raise NotImplementedError("PNG: interlace/non-zero methods")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG: bad IDAT stream ({e})") from None
+    return _png_unfilter(raw, h, w, _PNG_CHANNELS[ctype])
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Pure-stdlib PNG encode of an (h, w, c) uint8 array (c in 1/3/4),
+    one filter type for all scanlines (encoding filters have no
+    sequential dependency, so all five are vectorized per line)."""
+    import zlib
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    ctype = {1: 0, 3: 2, 4: 6}[c]
+    flat = img.reshape(h, w * c).astype(np.int32)
+    lines = []
+    for y in range(h):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * c, np.int32)
+        left = np.concatenate([np.zeros(c, np.int32), cur[:-c]])
+        ul = np.concatenate([np.zeros(c, np.int32), prev[:-c]])
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            enc = cur - left
+        elif filter_type == 2:
+            enc = cur - prev
+        elif filter_type == 3:
+            enc = cur - ((left + prev) >> 1)
+        elif filter_type == 4:
+            p = left + prev - ul
+            pa_, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, prev, ul)
+            )
+            enc = cur - pred
+        else:
+            raise ValueError(f"PNG filter {filter_type}")
+        lines.append(bytes([filter_type]) + (enc & 0xFF).astype(np.uint8).tobytes())
+    comp = zlib.compress(b"".join(lines), 9)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(blob: bytes, fmt: str) -> np.ndarray:
     """Decode a binary image payload to an (h, w, c) uint8 array.
 
-    Only the deterministic fixture format is implemented; real codecs
-    (jpeg/png/...) need libraries absent from this container."""
+    Implemented: the deterministic fixture format (kgim) and baseline
+    PNG (pure stdlib, `decode_png`). Other real codecs (jpeg/webp/...)
+    need libraries absent from this container."""
     if fmt == "kgim" and blob[:4] == MAGIC:
         w, h, c = struct.unpack(">III", blob[4:16])
         return np.frombuffer(blob[16 : 16 + w * h * c], dtype=np.uint8).reshape(h, w, c)
+    if fmt == "png" or blob[:8] == PNG_SIG:
+        return decode_png(blob)
     raise NotImplementedError(
         f"decode for format {fmt!r} requires an image library not present "
         "in this container (PIL/cv2); plug one in here"

@@ -927,6 +927,80 @@ SQL_MULTIMODAL_FEATURES = (
 )
 
 
+def q_multimodal_png_features(sf_dir: str):
+    """X52c: REAL-codec multimodal path (VERDICT r3 #7) — the seeded
+    fixture images re-encoded as baseline PNG by the pure-stdlib
+    encoder (filter type rotates img_id % 5 so every PNG scanline
+    filter is exercised end to end), then decoded by the stdlib PNG
+    decoder inside the actor-pool featurizer. Features are a function
+    of the PIXELS only, so the oracle reuses the independent
+    expected-features parquet that backs `multimodal_features`."""
+    import ray.data as _rd
+
+    from .extras import multimodal
+
+    n = 500 if "0.01" in sf_dir else (2000 if "0.1" in sf_dir else 100)
+    base = multimodal.make_image_table(n)
+
+    def to_png(b: pa.Table) -> pa.Table:
+        ids = b["img_id"].to_pylist()
+        blobs = [
+            multimodal.encode_png(
+                multimodal.decode_image(blob, fmt), filter_type=i % 5
+            )
+            for i, blob, fmt in zip(
+                ids, b["image"].to_pylist(), b["format"].to_pylist()
+            )
+        ]
+        return pa.table(
+            {
+                "img_id": b["img_id"],
+                "image": pa.array(blobs, pa.binary()),
+                "format": pa.array(["png"] * len(blobs)),
+            }
+        )
+
+    ds = _rd.from_arrow(base).map_batches(
+        to_png, batch_size=64, batch_format="pyarrow"
+    )
+    feats = multimodal.featurize_images(ds, batch_size=64)
+
+    def flatten(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        norms = [
+            round(float(_np.linalg.norm(_np.asarray(v))), 4)
+            if v is not None
+            else 0.0
+            for v in b["feature"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "img_id": b["img_id"],
+                "decode_ok": b["decode_ok"],
+                "feat_norm": pa.array(norms, type=pa.float64()),
+            }
+        )
+
+    return ops.collect_table(
+        feats.map_batches(flatten, batch_format="pyarrow"),
+        schema=pa.schema(
+            [
+                ("img_id", pa.int64()),
+                ("decode_ok", pa.bool_()),
+                ("feat_norm", pa.float64()),
+            ]
+        ),
+        sort_by=["img_id"],
+    )
+
+
+SQL_MULTIMODAL_PNG = (
+    "SELECT img_id, decode_ok, feat_norm "
+    f"FROM read_parquet('{MULTIMODAL_ORACLE_PATH}')"
+)
+
+
 QUERIES.update(
     {
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -942,6 +1016,7 @@ QUERIES.update(
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_features": q_multimodal_features,
+        "multimodal_png_features": q_multimodal_png_features,
     }
 )
 
@@ -953,6 +1028,7 @@ ORACLE_SQL.update(
         "langid_docs": SQL_LANGID_DOCS,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "multimodal_png_features": SQL_MULTIMODAL_PNG,
     }
 )
 

@@ -638,3 +638,78 @@ def test_oversized_cell_split_parity(ray_session):
     sizes = asg.groupby("cell").size()
     assert sizes.max() <= 64 * 2, sizes.max()  # sub-Lloyd imbalance slack
     assert (asg.groupby("cell").size().index >= cluster.SPLIT_BASE).any()
+
+
+def test_png_roundtrip_all_filters():
+    """Pure-stdlib PNG codec (VERDICT r3 #7): encode/decode round-trip
+    is lossless for every scanline filter type (None/Sub/Up/Average/
+    Paeth) and channel count (gray/RGB/RGBA). No Ray needed."""
+    import numpy as np
+
+    from kgray.extras import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    for c in (1, 3, 4):
+        img = rng.integers(0, 256, size=(11, 7, c), dtype=np.uint8)
+        for ft in range(5):
+            blob = mm.encode_png(img, filter_type=ft)
+            out = mm.decode_png(blob)
+            assert out.shape == img.shape, (c, ft)
+            assert np.array_equal(out, img), (c, ft)
+    # unsupported profile fails loudly as NotImplementedError
+    import pytest
+    import struct as st
+    import zlib
+
+    bad_ihdr = st.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)  # 16-bit depth
+
+    def chunk(tag, data):
+        return (
+            st.pack(">I", len(data)) + tag + data
+            + st.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    blob16 = mm.PNG_SIG + chunk(b"IHDR", bad_ihdr) + chunk(b"IDAT", b"x") + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        mm.decode_png(blob16)
+
+
+def test_featurizer_decodes_png(ray_session):
+    """The actor-pool featurizer handles REAL PNG payloads end to end:
+    the same pixels fed as kgim and as PNG produce identical feature
+    vectors, with decode_ok true for both."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray.extras import multimodal as mm
+
+    base = mm.make_image_table(4)
+    imgs = [
+        mm.decode_image(base["image"][i].as_py(), "kgim") for i in range(4)
+    ]
+    t = pa.table(
+        {
+            "img_id": pa.array(list(range(4)) + list(range(4, 8)), pa.int64()),
+            "image": pa.array(
+                [base["image"][i].as_py() for i in range(4)]
+                + [mm.encode_png(img, filter_type=4) for img in imgs],
+                pa.binary(),
+            ),
+            "format": pa.array(["kgim"] * 4 + ["png"] * 4),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            mm.ImageFeaturizer, concurrency=1, batch_size=8,
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("img_id", ignore_index=True)
+    )
+    assert out["decode_ok"].all()
+    for i in range(4):
+        a = np.array(out["feature"][i])
+        b = np.array(out["feature"][i + 4])
+        assert np.array_equal(a, b), i
