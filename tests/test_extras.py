@@ -367,7 +367,9 @@ def test_multimodal_plumbing(ray_session):
     assert feats["decode_ok"].all()
     assert all(len(v) == multimodal.FEAT_DIM for v in feats["feature"])
 
-    # unknown format -> NotImplementedError path, flagged not raised
+    # undecodable payloads are flagged, not raised: a malformed PNG
+    # (the stdlib codec raises ValueError) and a genuinely
+    # unimplemented codec (NotImplementedError)
     bad = pa.table(
         {
             "img_id": pa.array([99], type=pa.int64()),
@@ -379,8 +381,10 @@ def test_multimodal_plumbing(ray_session):
     )
     out = multimodal.featurize_images(ray.data.from_arrow(bad), batch_size=4).to_pandas()
     assert not out["decode_ok"].iloc[0]
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\x89PNGxxxx", "png")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0jpegish", "jpeg")
 
 
 def test_connected_components_and_dedup_remove(ray_session):
