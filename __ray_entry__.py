@@ -68,9 +68,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     seen = _driver_checked()
     smoke = [n for n in ("kg_triples", "pricing_summary") if n in q.QUERIES]
-    fresh = [n for n in q.QUERIES if n not in seen and n not in smoke]
-    stale = [n for n in q.QUERIES if n in seen and n not in smoke]
-    return {n: q.QUERIES[n] for n in smoke + fresh + stale}
+    # operators added/changed THIS round go right after the smoke pair
+    # so the external correctness file covers them first
+    priority = [
+        n
+        for n in (
+            "orders_pagerank_mass",
+            "multimodal_png_features",
+            "term_postings",
+            "graph_triangles",
+            "events_asof",
+            "orders_pagerank",
+            "semdedup_embeddings",
+            "knn_graph",
+            "doc_bigrams_top20_sketch",
+            "cross_source_grams",
+        )
+        if n in q.QUERIES and n not in smoke
+    ]
+    head = smoke + priority
+    fresh = [n for n in q.QUERIES if n not in seen and n not in head]
+    stale = [n for n in q.QUERIES if n in seen and n not in head]
+    return {n: q.QUERIES[n] for n in head + fresh + stale}
 
 
 def oracle_sql() -> dict[str, str]:
