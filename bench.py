@@ -74,9 +74,10 @@ PROBE_GATE = 0.75
 # a run within ACCEPT_FACTOR of it proves the window was clean; a
 # slower run triggers a bounded retry in a later window. All runs and
 # probes are embedded — nothing is discarded silently.
-# quiet-host flagship seconds by num_cpus (measured, BASELINE.md);
+# quiet-host flagship seconds by num_cpus (measured, BASELINE.md;
+# round-4 values — targeted-iter XML walk + 4 blocks/CPU);
 # nearest key is used for other counts. Override: GRAFT_QUIET_HEADLINE_S.
-_QUIET_BY_CPUS = {4: 90.0, 8: 50.0, 16: 23.5, 32: 21.0}
+_QUIET_BY_CPUS = {4: 75.0, 8: 42.0, 16: 20.0, 32: 17.5}
 QUIET_HEADLINE_S = float(
     os.environ.get("GRAFT_QUIET_HEADLINE_S")
     or _QUIET_BY_CPUS[min(_QUIET_BY_CPUS, key=lambda k: abs(k - NUM_CPUS))]
@@ -130,10 +131,11 @@ def run_bench() -> dict:
 
     def run_flagship() -> tuple[float, int]:
         t0 = time.monotonic()
-        # block count is data-driven (~60MB decompressed per block), with
-        # a floor of 2 blocks per CPU so small inputs still parallelize
+        # 4 blocks per CPU (measured round 4: the 2/CPU map phase ran
+        # as two coarse waves whose straggler tail wasted ~25% wall;
+        # ~4700 rows / ~35 MB decompressed per block pipelines cleanly)
         triples = pipeline.flagship(
-            corpus_dir, vocab, override_num_blocks=max(64, 2 * NUM_CPUS), with_sha=True
+            corpus_dir, vocab, override_num_blocks=max(128, 4 * NUM_CPUS), with_sha=True
         )
         n = triples.count()
         return time.monotonic() - t0, n

@@ -67,3 +67,53 @@ def test_missing_fields_ok():
     d = parse_score_xml("<score-partwise><part-list/></score-partwise>", "musicxml")
     assert d.parse_ok
     assert d.composers == [] and d.title is None and d.work_id is None
+
+
+def test_fast_walk_matches_reference_walk():
+    """The targeted-iter fast walk must equal the namespace-agnostic
+    reference walk on the whole tiny fixture corpus plus adversarial
+    edge cases (nested composers, CDATA, comments mid-text, whitespace
+    titles, isodate attrs, off-namespace fallback)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from kgray import fixtures
+    from kgray.xmlparse import _parse_et, parse_score_xml
+
+    def tup(d):
+        return (d.parse_ok, d.composers, d.title, d.work_id, d.date, d.instruments)
+
+    n = 0
+    for f in sorted(glob.glob(fixtures.corpus_path("tiny") + "/*.parquet")):
+        tb = pq.read_table(f, columns=["lang", "content"])
+        for lang, c in zip(tb["lang"].to_pylist(), tb["content"].to_pylist()):
+            if lang not in ("musicxml", "mei"):
+                continue
+            n += 1
+            assert tup(_parse_et(c, lang)) == tup(parse_score_xml(c, lang))
+    assert n > 1000
+
+    edges = [
+        ("musicxml", "<score><work><work-title> </work-title><work-title>Real"
+                     "</work-title></work><identification><creator type='composer'>A<sub/>t"
+                     "</creator><creator>B</creator></identification>"
+                     "<part-list><part-name>Vn</part-name><part-name>  </part-name>"
+                     "</part-list></score>"),
+        ("mei", "<mei xmlns='urn:m'><composer><persName>P1</persName>own</composer>"
+                "<composer>OnlyOwn</composer><composer><persName/></composer>"
+                "<title>T<x/>s</title><date isodate=' 1821 '>txt</date>"
+                "<identifier> I </identifier><perfRes>violin</perfRes></mei>"),
+        ("mei", "<m><composer><persName>A</persName><composer><persName>B"
+                "</persName></composer></composer></m>"),
+        ("musicxml", "<a><work-title><![CDATA[ CD ]]></work-title></a>"),
+        ("musicxml", "<a><work-title>x<!-- c -->y</work-title></a>"),
+        # off-namespace targets: fast scan finds nothing in the root
+        # namespace and must fall back to the reference walk
+        ("musicxml", "<r xmlns='urn:a'><w xmlns='urn:b'><work-title xmlns='urn:b'>T"
+                     "</work-title></w></r>"),
+        ("musicxml", "broken <<<"),
+        ("mei", ""),
+    ]
+    for lang, c in edges:
+        assert tup(_parse_et(c, lang)) == tup(parse_score_xml(c, lang)), c[:60]
