@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n
         for n in (
             "orders_pagerank_mass",
+            "docs_temperature_mix",
+            "supplier_name_ed1",
             "multimodal_png_features",
             "term_postings",
             "graph_triangles",

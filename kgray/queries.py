@@ -6688,3 +6688,211 @@ FROM d GROUP BY event_type
 
 QUERIES["events_outliers_mad"] = q_events_outliers_mad
 ORACLE_SQL["events_outliers_mad"] = SQL_EVENTS_OUTLIERS_MAD
+
+
+MIX_BUDGET = 200  # temperature-resampled sample size
+MIX_SEED = 42
+
+
+def q_docs_temperature_mix(sf_dir: str):
+    """X70: temperature-resampled data mixture (the multilingual
+    alpha-sampling move, alpha = 1/2): per-language sample quotas
+    proportional to sqrt(n_lang) — flattening the head so low-resource
+    languages are over-represented relative to their corpus share —
+    apportioned EXACTLY by integer largest remainder, then each
+    language's quota filled with its k smallest splitmix64(doc_id)
+    rows (the O8 deterministic per-group sample). Everything the two
+    sides must agree on is integer except ONE IEEE sqrt on an
+    exactly-representable int (n*10^6 < 2^53; sqrt is correctly
+    rounded, so floor(sqrt(.)) is bit-identical in numpy/DuckDB/libm).
+    Scale: quotas come from a combiner groupby (<= #langs rows to the
+    driver), the sample from the O8 per-block per-group top-k prune —
+    O(blocks*k) rows ever shuffle."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    counts = {
+        r["lang"]: int(r["n"])
+        for r in ops.grouped_sum_count(
+            ds, keys=["lang"], sums=[], count_alias="n"
+        ).take_all()  # <= #languages rows
+    }
+    w = {g: int(math.floor(math.sqrt(float(n * 1_000_000)))) for g, n in counts.items()}
+    W = sum(w.values())
+    base = {g: (MIX_BUDGET * w[g]) // W for g in w}
+    rem = {g: (MIX_BUDGET * w[g]) % W for g in w}
+    leftover = MIX_BUDGET - sum(base.values())
+    order = sorted(w, key=lambda g: (-rem[g], g))
+    k = {
+        g: base[g] + (1 if i < leftover else 0) for i, g in enumerate(order)
+    }
+    assert all(k[g] <= counts[g] for g in k), "quota exceeds group size"
+    kmax = max(k.values())
+
+    def hashed(b: pa.Table) -> pa.Table:
+        key = (
+            b["doc_id"].combine_chunks().to_numpy().astype(np.int64)
+            .view(np.uint64)
+        )
+        h = ops._mix64(key ^ np.uint64(MIX_SEED))
+        return pa.table(
+            {
+                "lang": b["lang"],
+                "doc_id": b["doc_id"],
+                "hs": (h ^ np.uint64(1 << 63)).view(np.int64),
+            }
+        )
+
+    def block_prune(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["hs", "doc_id"], kind="mergesort")
+            .groupby("lang", sort=False)
+            .head(kmax)
+        )
+
+    def per_lang(g: pd.DataFrame) -> pd.DataFrame:
+        kk = k.get(g["lang"].iloc[0], 0)
+        out = g.sort_values(["hs", "doc_id"], kind="mergesort").head(kk)
+        return out[["lang", "doc_id"]]
+
+    pruned = ds.map_batches(
+        hashed, batch_size=None, batch_format="pyarrow"
+    ).map_batches(block_prune, batch_size=None, batch_format="pandas")
+    return pruned.groupby("lang").map_groups(per_lang, batch_format="pandas")
+
+
+SQL_DOCS_TEMPERATURE_MIX = """
+WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+w AS (SELECT lang, n,
+             CAST(FLOOR(SQRT(CAST(n * 1000000 AS DOUBLE))) AS BIGINT) AS w
+      FROM n),
+tot AS (SELECT SUM(w) AS wsum FROM w),
+quota AS (SELECT lang, n, w,
+                 ({B} * w) // tot.wsum AS base, ({B} * w) % tot.wsum AS rem
+          FROM w, tot),
+ranked AS (SELECT *,
+                  ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rr,
+                  (SELECT {B} - SUM(base) FROM quota) AS leftover
+           FROM quota),
+k AS (SELECT lang, base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS k
+      FROM ranked),
+h AS ({H}),
+r AS (SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+      FROM h)
+SELECT r.lang, r.doc_id FROM r JOIN k USING (lang) WHERE rn <= k.k
+""".format(
+    B=MIX_BUDGET,
+    H=ops.splitmix64_sql("documents", "doc_id", ["lang", "doc_id"], seed=MIX_SEED),
+)
+
+QUERIES["docs_temperature_mix"] = q_docs_temperature_mix
+ORACLE_SQL["docs_temperature_mix"] = SQL_DOCS_TEMPERATURE_MIX
+
+
+def q_supplier_name_ed1(sf_dir: str):
+    """X71: edit-distance<=1 string-similarity SELF-JOIN via the FastSS
+    deletion neighborhood — the exact small-radius sibling of the LSH
+    families: two strings are within one edit iff they share a member
+    of {s} U del1(s) (substitution at i -> same i-deletion; insertion
+    -> one IS the other's deletion; equality trivially), so candidates
+    come from ONE hash self-join on the variant key instead of all
+    pairs, then the from-scratch Levenshtein kernel verifies exactly.
+    Variant generation is vectorized: one slice+concat kernel pass per
+    deletion position (no per-row Python). Scale: |s|+1 variants per
+    row through a distinct combiner; self-join fan-out bounded by
+    bucket sizes (names sharing a variant), exact verify on the
+    candidate residue only."""
+    import numpy as np
+
+    from .similarity import levenshtein
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+
+    def variants(b: pa.Table) -> pa.Table:
+        names = b["s_name"].combine_chunks()
+        keys = b["s_suppkey"].combine_chunks()
+        lens = pc.utf8_length(names).to_numpy(zero_copy_only=False)
+        max_len = int(lens.max()) if len(lens) else 0
+        parts = [pa.table({"k": keys, "v": names, "nm": names})]
+        big = 1 << 30
+        for i in range(max_len):
+            mask = pa.array(lens > i)
+            sub_n = names.filter(mask)
+            sub_k = keys.filter(mask)
+            v = pc.binary_join_element_wise(
+                pc.utf8_slice_codeunits(sub_n, 0, i),
+                pc.utf8_slice_codeunits(sub_n, i + 1, big),
+                "",
+            )
+            parts.append(pa.table({"k": sub_k, "v": v, "nm": sub_n}))
+        return pa.concat_tables(parts)
+
+    ex = ops.distinct(
+        sup.map_batches(variants, batch_size=None, batch_format="pyarrow"),
+        ["k", "v", "nm"],
+    ).materialize()  # both sides of the self-join
+    pairs = ops.distinct(
+        ops.normalize_blocks(
+            ops.hash_join(
+                ex,
+                ex.map_batches(
+                    lambda b: pa.table(
+                        {"k2": b["k"], "v2": b["v"], "nm2": b["nm"]}
+                    ),
+                    batch_size=None,
+                    batch_format="pyarrow",
+                ),
+                on=("v",),
+                right_on=("v2",),
+            ),
+            pa.schema(
+                [
+                    ("k", pa.int64()),
+                    ("v", pa.string()),
+                    ("nm", pa.string()),
+                    ("k2", pa.int64()),
+                    ("nm2", pa.string()),
+                ]
+            ),
+        ).map_batches(
+            lambda b: b.filter(pc.less(b["k"], b["k2"])).select(
+                ["k", "nm", "k2", "nm2"]
+            ),
+            batch_size=None,
+            batch_format="pyarrow",
+        ),
+        ["k", "nm", "k2", "nm2"],
+    )
+
+    def verify(b: pa.Table) -> pa.Table:
+        a_n = b["nm"].to_pylist()
+        b_n = b["nm2"].to_pylist()
+        lev = np.array(
+            [levenshtein(x, y) for x, y in zip(a_n, b_n)], dtype=np.int64
+        )
+        keep = lev <= 1
+        f = b.filter(pa.array(keep))
+        return pa.table(
+            {
+                "a": f["k"],
+                "b": f["k2"],
+                "lev": pa.array(lev[keep], pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(verify, batch_size=None, batch_format="pyarrow")
+
+
+SQL_SUPPLIER_NAME_ED1 = """
+SELECT a.s_suppkey AS a, b.s_suppkey AS b,
+       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS lev
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+QUERIES["supplier_name_ed1"] = q_supplier_name_ed1
+ORACLE_SQL["supplier_name_ed1"] = SQL_SUPPLIER_NAME_ED1
