@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "orders_pagerank_mass",
             "docs_temperature_mix",
             "supplier_name_ed1",
+            "events_ohlc_hourly",
             "multimodal_png_features",
             "term_postings",
             "graph_triangles",

@@ -6896,3 +6896,90 @@ WHERE levenshtein(a.s_name, b.s_name) <= 1
 
 QUERIES["supplier_name_ed1"] = q_supplier_name_ed1
 ORACLE_SQL["supplier_name_ed1"] = SQL_SUPPLIER_NAME_ED1
+
+
+def q_events_ohlc_hourly(sf_dir: str):
+    """A18: per-hour OHLC (open/high/low/close) — the canonical
+    mergeable ORDER-STATISTIC aggregate: open/close need the value at
+    the min/max (ts, event_id) key, which plain SUM/MIN combiners
+    can't express. Plan: per-block pandas partial (one stable sort per
+    block, then first/last/min/max per hour) emits ONE row per (block,
+    hour) carrying the open/close rows' full ordering keys; a
+    `groupby(hour).map_groups` merge picks the global min/max-key rows
+    — associative, so the shuffle sees O(blocks x hours) rows, never
+    events. All values exact int cents; (ts, event_id) is a total
+    order so the result is layout-independent."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["ts", "event_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": pc.floor_temporal(b["ts"], unit="hour"),
+                "ts": b["ts"],
+                "event_id": b["event_id"],
+                "c": ops.cents(b["value"]),
+            }
+        )
+
+    def block_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(["ts", "event_id"], kind="mergesort")
+        g = s.groupby("hour", sort=False)
+        first = g.nth(0)
+        last = g.nth(-1)
+        agg = g.agg(lo=("c", "min"), hi=("c", "max"), n=("c", "size"))
+        out = pd.DataFrame(
+            {
+                "hour": agg.index,
+                "open_ts": first["ts"].to_numpy(),
+                "open_id": first["event_id"].to_numpy(),
+                "open_c": first["c"].to_numpy(),
+                "close_ts": last["ts"].to_numpy(),
+                "close_id": last["event_id"].to_numpy(),
+                "close_c": last["c"].to_numpy(),
+                "lo": agg["lo"].to_numpy(),
+                "hi": agg["hi"].to_numpy(),
+                "n": agg["n"].to_numpy().astype("int64"),
+            }
+        )
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.sort_values(["open_ts", "open_id"], kind="mergesort").iloc[0]
+        c = g.sort_values(["close_ts", "close_id"], kind="mergesort").iloc[-1]
+        return pd.DataFrame(
+            {
+                "hour": [g["hour"].iloc[0]],
+                "open_c": [int(o["open_c"])],
+                "hi_c": [int(g["hi"].max())],
+                "lo_c": [int(g["lo"].min())],
+                "close_c": [int(c["close_c"])],
+                "n": [int(g["n"].sum())],
+            }
+        )
+
+    partials = ds.map_batches(
+        prep, batch_size=None, batch_format="pyarrow"
+    ).map_batches(block_partial, batch_size=None, batch_format="pandas")
+    return partials.groupby("hour").map_groups(merge, batch_format="pandas")
+
+
+SQL_EVENTS_OHLC = """
+WITH b AS (SELECT date_trunc('hour', ts) AS hour, ts, event_id,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+           FROM events),
+w AS (SELECT hour, c,
+             ROW_NUMBER() OVER (PARTITION BY hour ORDER BY ts, event_id) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY hour ORDER BY ts DESC, event_id DESC) AS rl
+      FROM b)
+SELECT hour,
+       CAST(MAX(CASE WHEN rf = 1 THEN c END) AS BIGINT) AS open_c,
+       MAX(c) AS hi_c, MIN(c) AS lo_c,
+       CAST(MAX(CASE WHEN rl = 1 THEN c END) AS BIGINT) AS close_c,
+       COUNT(*) AS n
+FROM w GROUP BY hour
+"""
+
+QUERIES["events_ohlc_hourly"] = q_events_ohlc_hourly
+ORACLE_SQL["events_ohlc_hourly"] = SQL_EVENTS_OHLC
