@@ -6690,8 +6690,8 @@ QUERIES["events_outliers_mad"] = q_events_outliers_mad
 ORACLE_SQL["events_outliers_mad"] = SQL_EVENTS_OUTLIERS_MAD
 
 
-MIX_BUDGET = 200  # temperature-resampled sample size
-MIX_SEED = 42
+TEMP_MIX_BUDGET = 200  # temperature-resampled sample size
+TEMP_MIX_SEED = 42
 
 
 def q_docs_temperature_mix(sf_dir: str):
@@ -6722,9 +6722,9 @@ def q_docs_temperature_mix(sf_dir: str):
     }
     w = {g: int(math.floor(math.sqrt(float(n * 1_000_000)))) for g, n in counts.items()}
     W = sum(w.values())
-    base = {g: (MIX_BUDGET * w[g]) // W for g in w}
-    rem = {g: (MIX_BUDGET * w[g]) % W for g in w}
-    leftover = MIX_BUDGET - sum(base.values())
+    base = {g: (TEMP_MIX_BUDGET * w[g]) // W for g in w}
+    rem = {g: (TEMP_MIX_BUDGET * w[g]) % W for g in w}
+    leftover = TEMP_MIX_BUDGET - sum(base.values())
     order = sorted(w, key=lambda g: (-rem[g], g))
     k = {
         g: base[g] + (1 if i < leftover else 0) for i, g in enumerate(order)
@@ -6737,7 +6737,7 @@ def q_docs_temperature_mix(sf_dir: str):
             b["doc_id"].combine_chunks().to_numpy().astype(np.int64)
             .view(np.uint64)
         )
-        h = ops._mix64(key ^ np.uint64(MIX_SEED))
+        h = ops._mix64(key ^ np.uint64(TEMP_MIX_SEED))
         return pa.table(
             {
                 "lang": b["lang"],
@@ -6785,8 +6785,8 @@ r AS (SELECT lang, doc_id,
       FROM h)
 SELECT r.lang, r.doc_id FROM r JOIN k USING (lang) WHERE rn <= k.k
 """.format(
-    B=MIX_BUDGET,
-    H=ops.splitmix64_sql("documents", "doc_id", ["lang", "doc_id"], seed=MIX_SEED),
+    B=TEMP_MIX_BUDGET,
+    H=ops.splitmix64_sql("documents", "doc_id", ["lang", "doc_id"], seed=TEMP_MIX_SEED),
 )
 
 QUERIES["docs_temperature_mix"] = q_docs_temperature_mix
