@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "docs_temperature_mix",
             "supplier_name_ed1",
             "events_ohlc_hourly",
+            "events_user_rolling3",
             "multimodal_png_features",
             "term_postings",
             "graph_triangles",

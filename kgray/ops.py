@@ -2291,3 +2291,31 @@ def triangle_count(
     if with_wedges:
         cols["n_wedges"] = pa.array([int(n_wedges)], pa.int64())
     return _rd.from_arrow(pa.table(cols))
+
+
+def group_rolling_sum(
+    ds: Dataset,
+    key: str,
+    order_cols: list[str],
+    val_col: str,
+    out_col: str,
+    *,
+    window: int,
+) -> Dataset:
+    """W6: per-key ROLLING sum over the trailing `window` rows —
+    SUM(val) OVER (PARTITION BY key ORDER BY ... ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW). Vectorized in-group
+    (pandas C rolling over the sorted group); integer value columns
+    stay exact end-to-end. Same key-fits-worker contract as
+    `group_lag`/`group_running_sum` — salt upstream for outsized
+    keys."""
+    import pandas as pd
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, ignore_index=True)
+        g[out_col] = (
+            g[val_col].rolling(window, min_periods=1).sum().astype("int64")
+        )
+        return g
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")

@@ -6983,3 +6983,48 @@ FROM w GROUP BY hour
 
 QUERIES["events_ohlc_hourly"] = q_events_ohlc_hourly
 ORACLE_SQL["events_ohlc_hourly"] = SQL_EVENTS_OHLC
+
+
+def q_events_user_rolling3(sf_dir: str):
+    """W6: per-user trailing 3-row moving sum of value cents in
+    (ts, event_id) order — the bounded ROWS-window sibling of the W2
+    running sum (`ops.group_rolling_sum`: one key shuffle, vectorized
+    C rolling inside the group, exact int cents)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "event_id": b["event_id"],
+                "c": ops.cents(b["value"]),
+            }
+        )
+
+    out = ops.group_rolling_sum(
+        ds.map_batches(prep, batch_size=None, batch_format="pyarrow"),
+        "user_id",
+        ["ts", "event_id"],
+        "c",
+        "roll3_cents",
+        window=3,
+    )
+    return out.map_batches(
+        lambda b: b.select(["user_id", "event_id", "roll3_cents"]),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENTS_USER_ROLLING3 = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS roll3_cents
+FROM events
+"""
+
+QUERIES["events_user_rolling3"] = q_events_user_rolling3
+ORACLE_SQL["events_user_rolling3"] = SQL_EVENTS_USER_ROLLING3
