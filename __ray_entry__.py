@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "supplier_name_ed1",
             "events_ohlc_hourly",
             "events_user_rolling3",
+            "user_survivor_event",
             "multimodal_png_features",
             "term_postings",
             "graph_triangles",

@@ -7028,3 +7028,78 @@ FROM events
 
 QUERIES["events_user_rolling3"] = q_events_user_rolling3
 ORACLE_SQL["events_user_rolling3"] = SQL_EVENTS_USER_ROLLING3
+
+
+SURVIVOR_PRIORITY = ["purchase", "signup", "click", "view", "error"]
+
+
+def q_user_survivor_event(sf_dir: str):
+    """X72: survivorship dedup (the MDM 'golden record' rule): per
+    user keep exactly ONE event — highest type priority first
+    (purchase > signup > click > view > error), most recent on ties,
+    event_id as the final total-order tiebreak. Priority is a
+    vectorized `pc.index_in` against the ordered type list (no per-row
+    Python); a per-block per-user head(1) combiner prunes to
+    O(blocks x users) rows before the single key shuffle;
+    `ops.group_topk(k=1)` picks the global winner."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    prio_set = pa.array(SURVIVOR_PRIORITY)
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "ts": b["ts"],
+                "event_id": b["event_id"],
+                "prio": pc.cast(
+                    pc.index_in(b["event_type"], value_set=prio_set),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def block_prune(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(
+                ["prio", "ts", "event_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("user_id", sort=False)
+            .head(1)
+        )
+
+    pruned = ds.map_batches(
+        prep, batch_size=None, batch_format="pyarrow"
+    ).map_batches(block_prune, batch_size=None, batch_format="pandas")
+    top = ops.group_topk(
+        pruned,
+        "user_id",
+        ["prio", "ts", "event_id"],
+        1,
+        ascending=[True, False, True],
+    )
+    return top.map_batches(
+        lambda b: b.select(["user_id", "event_id", "event_type"]),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+
+
+SQL_USER_SURVIVOR_EVENT = """
+WITH p AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE event_type WHEN 'purchase' THEN 0 WHEN 'signup' THEN 1
+              WHEN 'click' THEN 2 WHEN 'view' THEN 3 ELSE 4 END AS prio
+  FROM events)
+SELECT user_id, event_id, event_type FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY prio, ts DESC, event_id) AS rn
+  FROM p) WHERE rn = 1
+"""
+
+QUERIES["user_survivor_event"] = q_user_survivor_event
+ORACLE_SQL["user_survivor_event"] = SQL_USER_SURVIVOR_EVENT
