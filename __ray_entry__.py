@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "events_ohlc_hourly",
             "events_user_rolling3",
             "user_survivor_event",
+            "docs_containing_all_terms",
+            "priority_price_p25_cont",
             "multimodal_png_features",
             "term_postings",
             "graph_triangles",

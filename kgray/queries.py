@@ -7103,3 +7103,125 @@ SELECT user_id, event_id, event_type FROM (
 
 QUERIES["user_survivor_event"] = q_user_survivor_event
 ORACLE_SQL["user_survivor_event"] = SQL_USER_SURVIVOR_EVENT
+
+
+CONTAIN_TERMS = ["query", "window", "merge"]  # the AND-search term set
+
+
+def q_docs_containing_all_terms(sf_dir: str):
+    """X73: set-containment search (AND-semantics term filter — the
+    retrieval primitive behind inverted-index conjunctive queries):
+    docs whose token set contains EVERY query term. The term set is
+    tiny and broadcast inside the kernel; per batch ONE vectorized
+    membership pass per term over the token explode would still shuffle
+    tokens, so instead the whole check is map-side: split once, one
+    `pc.is_in` per term on the token lists' flattened values, reduced
+    per doc with list-offset arithmetic — no shuffle at all, output is
+    a filter of the input."""
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        keep = np.ones(len(toks), dtype=bool)
+        for t in CONTAIN_TERMS:
+            hit = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            # per-doc ANY via prefix sums over the list offsets
+            cum = np.concatenate([[0], np.cumsum(hit.astype(np.int64))])
+            keep &= (cum[offs[1:]] - cum[offs[:-1]]) > 0
+        return pa.table(
+            {"doc_id": b["doc_id"].combine_chunks().filter(pa.array(keep))}
+        )
+
+    return ds.map_batches(f, batch_size=None, batch_format="pyarrow")
+
+
+SQL_DOCS_CONTAINING_ALL = """
+SELECT doc_id FROM documents
+WHERE {conds}
+""".format(
+    conds=" AND ".join(
+        f"list_contains(string_split(text, ' '), '{t}')" for t in CONTAIN_TERMS
+    )
+)
+
+QUERIES["docs_containing_all_terms"] = q_docs_containing_all_terms
+ORACLE_SQL["docs_containing_all_terms"] = SQL_DOCS_CONTAINING_ALL
+
+
+def q_priority_price_p25_cont(sf_dir: str):
+    """X74: per-group CONTINUOUS (linearly interpolated) quantile —
+    SQL QUANTILE_CONT's convention: value at rank (n-1)*q, interpolated
+    lo + (hi-lo)*frac between the two bracketing order statistics.
+    Exactness: prices quantize to int cents; q = 1/4 makes frac an
+    exact binary fraction, and cents < 2^50 keep lo + (hi-lo)*frac
+    exactly representable — both sides compute the IDENTICAL float
+    expression, so the oracle is bit-exact without the cents trick on
+    the output. Scale plan: the same combiner-bounded (group, value)
+    count table + cumulative walk as the DISC family (`ops.
+    group_quantile_disc`'s hist path) — the shuffle carries distinct
+    values, never rows; the walk just picks TWO ranks instead of one."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    Q = 0.25
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "g": b["o_orderpriority"],
+                "c": ops.cents(b["o_totalprice"]),
+            }
+        )
+
+    counts = ops.grouped_sum_count(
+        ds.map_batches(prep, batch_size=None, batch_format="pyarrow"),
+        keys=["g", "c"],
+        sums=[],
+        count_alias="n",
+    )
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("c", ignore_index=True)
+        n = int(df["n"].sum())
+        pos = (n - 1) * Q
+        lo_i, frac = int(np.floor(pos)), pos - np.floor(pos)
+        cum = df["n"].cumsum().to_numpy()
+        vals = df["c"].to_numpy()
+        lo = float(vals[np.searchsorted(cum, lo_i + 1)])
+        hi = float(vals[np.searchsorted(cum, min(lo_i + 1, n - 1) + 1)])
+        p = (lo + (hi - lo) * frac) / 100.0
+        return pd.DataFrame({"o_orderpriority": [df["g"].iloc[0]], "p25": [p]})
+
+    return counts.groupby("g").map_groups(per_group, batch_format="pandas")
+
+
+SQL_PRIORITY_PRICE_P25_CONT = """
+WITH b AS (SELECT o_orderpriority,
+                  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+           FROM orders),
+r AS (SELECT o_orderpriority, c,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY c) - 1 AS rk,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM b),
+lohi AS (
+  SELECT o_orderpriority,
+         MAX(CASE WHEN rk = CAST(FLOOR((n - 1) * 0.25) AS BIGINT)
+                  THEN c END) AS lo,
+         MAX(CASE WHEN rk = LEAST(CAST(FLOOR((n - 1) * 0.25) AS BIGINT) + 1,
+                                  n - 1)
+                  THEN c END) AS hi,
+         MAX((n - 1) * 0.25 - FLOOR((n - 1) * 0.25)) AS frac
+  FROM r GROUP BY o_orderpriority)
+SELECT o_orderpriority,
+       (CAST(lo AS DOUBLE)
+        + (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)) * frac) / 100.0 AS p25
+FROM lohi
+"""
+
+QUERIES["priority_price_p25_cont"] = q_priority_price_p25_cont
+ORACLE_SQL["priority_price_p25_cont"] = SQL_PRIORITY_PRICE_P25_CONT
