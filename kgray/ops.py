@@ -479,9 +479,12 @@ def asof_join_salted(
 
     def _bucket_of(t: pa.Table) -> pa.Array:
         # epoch-us // bucket width (ts is timestamp[us]; int64 cast is
-        # the epoch value in the column's own unit)
+        # the epoch value in the column's own unit). FLOOR division in
+        # numpy: Arrow pc.divide truncates toward zero, which would
+        # merge (-width, +width) into one double-width bucket 0 on
+        # pre-1970 timestamps (ADVICE r4).
         e = pc.cast(pc.cast(t[ts], pa.timestamp("us")), pa.int64())
-        return pc.divide(e, usec)
+        return pa.array(e.to_numpy(zero_copy_only=False) // usec, type=pa.int64())
 
     # side 0 = left row, 1 = in-bucket right row; carries become side 1
     # rows re-tagged into a later bucket (their ts precedes everything

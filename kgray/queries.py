@@ -28,7 +28,9 @@ from ray.data.aggregate import Count, Sum
 from . import ops
 
 # join partition counts are derived from the live cluster at call time:
-# ops.default_join_partitions() = max(8, 2x cluster CPUs) (VERDICT r3 #9)
+# ops.default_join_partitions() = max(8, CPUs // 4), env-overridable via
+# KGRAY_JOIN_PARTITIONS (VERDICT r3 #9; 2x-CPUs measured 3.3x slower on
+# small joins — aggregator actor startup dominates)
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
@@ -6729,7 +6731,10 @@ def q_docs_temperature_mix(sf_dir: str):
     k = {
         g: base[g] + (1 if i < leftover else 0) for i, g in enumerate(order)
     }
-    assert all(k[g] <= counts[g] for g in k), "quota exceeds group size"
+    # a quota MAY legitimately exceed a tiny language's row count when
+    # sqrt-flattening over-represents small groups; head(kk) below caps
+    # at group size exactly like the oracle's rn <= k (ADVICE r4 — no
+    # assert: the capped output is the defined result)
     kmax = max(k.values())
 
     def hashed(b: pa.Table) -> pa.Table:
@@ -7054,9 +7059,15 @@ def q_user_survivor_event(sf_dir: str):
                 "event_type": b["event_type"],
                 "ts": b["ts"],
                 "event_id": b["event_id"],
-                "prio": pc.cast(
-                    pc.index_in(b["event_type"], value_set=prio_set),
-                    pa.int64(),
+                # fill_null: a type OUTSIDE the priority list must tie
+                # with the last listed type, exactly like the oracle's
+                # CASE ... ELSE — NULL would sort differently (ADVICE r4)
+                "prio": pc.fill_null(
+                    pc.cast(
+                        pc.index_in(b["event_type"], value_set=prio_set),
+                        pa.int64(),
+                    ),
+                    len(SURVIVOR_PRIORITY) - 1,
                 ),
             }
         )
