@@ -1302,6 +1302,123 @@ def global_quantile_disc(ds: Dataset, col: str, q: float = 0.5) -> int:
     return rows[-1][0]
 
 
+# --- unbounded-domain exact global quantile (VERDICT r4 #5) ----------------
+# `global_quantile_disc` assumes the column has combiner-bounded
+# distinct values. The refinement variant below drops that assumption:
+# it finds the value at rank floor((n-1)*q) of ANY int64/float64
+# column in a FIXED number of passes with FIXED memory, by bit-plane
+# bucket refinement over an order-preserving uint64 mapping — each
+# pass histograms the next REFINE_BITS bits of the rows still inside
+# the candidate prefix (a 2^REFINE_BITS-bounded combiner groupby),
+# the driver walks the <= 2^REFINE_BITS cumulative counts to pick the
+# bucket containing the rank, and recurses into it. 64/REFINE_BITS
+# passes total, shuffle volume O(blocks * 2^REFINE_BITS) per pass,
+# driver memory O(2^REFINE_BITS) — independent of row count AND of
+# distinct-value count.
+
+REFINE_BITS = 16  # bits resolved per pass -> 4 passes over 64 bits
+
+
+def _ordered_u64(x: np.ndarray) -> np.ndarray:
+    """Order-preserving uint64 image of int64 or float64 values.
+
+    int64: flip the sign bit. float64 (IEEE total order, no NaN): flip
+    the sign bit of non-negatives, complement negatives — ascending
+    unsigned order == ascending numeric order."""
+    if x.dtype == np.int64:
+        return x.view(np.uint64) ^ np.uint64(1 << 63)
+    if x.dtype == np.float64:
+        b = x.view(np.uint64)
+        neg = (b >> np.uint64(63)).astype(bool)
+        return np.where(neg, ~b, b | np.uint64(1 << 63))
+    raise TypeError(f"unsupported dtype {x.dtype}")
+
+
+def _from_ordered_u64(u: int, dtype: np.dtype):
+    u = np.uint64(u)
+    if dtype == np.int64:
+        return int((u ^ np.uint64(1 << 63)).view(np.int64))
+    bits = (u ^ np.uint64(1 << 63)) if u >> np.uint64(63) else ~u
+    return float(np.uint64(bits).view(np.float64))
+
+
+def global_quantile_refine(ds: Dataset, col: str, q: float = 0.5):
+    """Exact global discrete quantile (value at ascending-sort index
+    floor((n-1)*q), the `global_quantile_disc` definition) over an
+    UNBOUNDED-domain int64/float64 column: 1 count pass + 4 bit-plane
+    refinement passes, never a corpus sort, never an O(distinct)
+    collect. NULLs are excluded (as SQL quantiles do); NaNs are not
+    supported (IEEE total-order caveat, documented).
+
+    Scale shape: each pass is a map-side np.bincount over the 2^16
+    bucket space of the rows matching the resolved prefix, merged by a
+    combiner groupby bounded at 65,536 rows."""
+    npass = 64 // REFINE_BITS
+    mask = np.uint64((1 << REFINE_BITS) - 1)
+
+    def _count(b: pa.Table) -> pa.Table:
+        arr = b[col].combine_chunks().drop_null()
+        return pa.table({"n": pa.array([len(arr)], type=pa.int64())})
+
+    n = sum(
+        r["n"]
+        for r in ds.map_batches(
+            _count, batch_size=None, batch_format="pyarrow"
+        ).take_all()
+    )
+    if n == 0:
+        raise ValueError("global_quantile_refine over an empty column")
+    target = int(np.floor((n - 1) * q))
+
+    np_dtype: np.dtype | None = None
+    prefix = np.uint64(0)  # resolved high bits, right-aligned
+    below = 0  # rows strictly below the candidate range
+    for p in range(npass):
+        shift = np.uint64(64 - REFINE_BITS * (p + 1))
+        known = np.uint64(REFINE_BITS * p)
+
+        def hist(b: pa.Table, _shift=shift, _known=known, _prefix=prefix) -> pa.Table:
+            arr = b[col].combine_chunks().drop_null()
+            x = arr.to_numpy(zero_copy_only=False)
+            x = x.astype(np.int64) if x.dtype.kind in "iu" else x.astype(np.float64)
+            u = _ordered_u64(x)
+            if _known:
+                u = u[(u >> (_shift + np.uint64(REFINE_BITS))) == _prefix]
+            bucket = ((u >> _shift) & mask).astype(np.int64)
+            cnt = np.bincount(bucket, minlength=1 << REFINE_BITS)
+            nz = np.flatnonzero(cnt)
+            return pa.table(
+                {
+                    "bucket": pa.array(nz.astype(np.int64)),
+                    "n": pa.array(cnt[nz].astype(np.int64)),
+                }
+            )
+
+        if np_dtype is None:
+            # pin the numpy dtype once from the schema (ray Schema
+            # wrapper exposes parallel names/types lists)
+            s = ds.schema()
+            t = dict(zip(s.names, s.types))[col]
+            np_dtype = np.dtype(np.int64) if pa.types.is_integer(t) else np.dtype(np.float64)
+
+        agg = (
+            ds.map_batches(hist, batch_size=None, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("n"))
+        )
+        rows = sorted(
+            (int(r["bucket"]), int(r["sum(n)"])) for r in agg.take_all()
+        )  # <= 2^REFINE_BITS rows
+        cum = below
+        for bkt, c in rows:
+            if cum + c > target:
+                prefix = (prefix << np.uint64(REFINE_BITS)) | np.uint64(bkt)
+                below = cum
+                break
+            cum += c
+    return _from_ordered_u64(int(prefix), np_dtype)
+
+
 # ---------------------------------------------------------------------------
 # Bloom-filter membership prefilter (round 3): the scale path for a
 # semi join whose right side's KEYS are too many to broadcast exactly

@@ -7236,3 +7236,47 @@ FROM lohi
 
 QUERIES["priority_price_p25_cont"] = q_priority_price_p25_cont
 ORACLE_SQL["priority_price_p25_cont"] = SQL_PRIORITY_PRICE_P25_CONT
+
+
+# ---------------------------------------------------------------------------
+# Round-5 widening: unbounded-domain global quantile (X75), from-scratch
+# BPE tokenizer (X76), stdlib WAV audio decode (X12c), actor-pool
+# hashed-BoW embedding inference demo (X77).
+
+
+def q_events_value_quantiles_refine(sf_dir: str):
+    """X75: exact global p50/p90 of `events.value` — a CONTINUOUS
+    double column with (potentially) corpus-many distinct values, so
+    the O(distinct) value-count plan of `global_quantile_disc` does
+    not apply. `ops.global_quantile_refine` finds each rank in 4
+    fixed-memory bit-plane refinement passes (2^16-bounded combiner
+    histograms); nothing here scales with rows or distinct values.
+    The single pruned column re-streams per pass (no materialize: at
+    corpus scale even one float64 column is too big to pin)."""
+    ds = _read(sf_dir, "events", ["value"])
+    p50 = ops.global_quantile_refine(ds, "value", 0.5)
+    p90 = ops.global_quantile_refine(ds, "value", 0.9)
+    return pa.table(
+        {
+            "q_label": pa.array(["p50", "p90"], type=pa.string()),
+            "qvalue": pa.array([p50, p90], type=pa.float64()),
+        }
+    )
+
+
+SQL_EVENTS_VALUE_QUANTILES_REFINE = """
+WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+cnt AS (SELECT COUNT(*) AS n FROM v)
+SELECT 'p50' AS q_label,
+       (SELECT value FROM v ORDER BY value
+        LIMIT 1 OFFSET (SELECT CAST(FLOOR((n - 1) * 0.5) AS BIGINT) FROM cnt)
+       ) AS qvalue
+UNION ALL
+SELECT 'p90',
+       (SELECT value FROM v ORDER BY value
+        LIMIT 1 OFFSET (SELECT CAST(FLOOR((n - 1) * 0.9) AS BIGINT) FROM cnt)
+       )
+"""
+
+QUERIES["events_value_quantiles_refine"] = q_events_value_quantiles_refine
+ORACLE_SQL["events_value_quantiles_refine"] = SQL_EVENTS_VALUE_QUANTILES_REFINE

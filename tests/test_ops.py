@@ -667,3 +667,33 @@ def test_triangle_orientation_parity_random(ray_session):
     got_deg = ops.triangle_count(edges).to_pandas()["n_triangles"].iloc[0]
     got_id = ops.triangle_count(edges, orient="id").to_pandas()["n_triangles"].iloc[0]
     assert int(got_deg) == want == int(got_id)
+
+
+def test_global_quantile_refine(ray_session):
+    """Unbounded-domain exact quantile (bit-plane refinement) ==
+    numpy's sorted-index value across block layouts, for continuous
+    float64 (all-distinct), int64 with negatives, and with NULLs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray import ops
+
+    rng = np.random.default_rng(11)
+    cases = [
+        rng.normal(0.0, 1e6, 5_003),                      # continuous, signed
+        rng.integers(-(10**12), 10**12, 5_003).astype("int64"),
+    ]
+    for vals in cases:
+        t = pa.table({"x": vals})
+        for nblocks in (1, 9):
+            ds = rd.from_arrow(t).repartition(nblocks)
+            for q in (0.0, 0.1, 0.5, 0.9, 1.0):
+                want = np.sort(vals)[int(np.floor((len(vals) - 1) * q))]
+                got = ops.global_quantile_refine(ds, "x", q)
+                assert got == want, (vals.dtype, nblocks, q, got, want)
+    # NULLs excluded (SQL semantics)
+    v = np.arange(101, dtype="float64")
+    t = pa.table({"x": pa.array(list(v) + [None] * 50, type=pa.float64())})
+    ds = rd.from_arrow(t).repartition(4)
+    assert ops.global_quantile_refine(ds, "x", 0.5) == 50.0
