@@ -7280,3 +7280,34 @@ SELECT 'p90',
 
 QUERIES["events_value_quantiles_refine"] = q_events_value_quantiles_refine
 ORACLE_SQL["events_value_quantiles_refine"] = SQL_EVENTS_VALUE_QUANTILES_REFINE
+
+
+def q_doc_bpe_tokens(sf_dir: str):
+    """X76: subword token counts under a from-scratch BPE vocabulary
+    trained on the corpus itself (Sennrich et al. 2016). Training is
+    ONE corpus-scale word-frequency combiner groupby, then merge
+    rounds over the (distinct-word, n) table only — size-gated to a
+    driver loop below WORD_GATE distinct words and a fully
+    distributed per-round pair-count groupby above it (parity-tested
+    identical). Encoding is an actor-pool stage with per-actor
+    distinct-word caching. Oracled against the independent sequential
+    twin's committed golden (reference_impl/sketch.py run_bpe_tokens)."""
+    from .extras import bpe
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe.train_bpe(ds, num_merges=80, min_count=2)
+    return ds.map_batches(
+        bpe.BpeEncoder,
+        fn_constructor_args=(merges,),
+        concurrency=2,
+        batch_size=256,
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["doc_bpe_tokens"] = q_doc_bpe_tokens
+
+ORACLE_SQL["doc_bpe_tokens"] = (
+    "SELECT doc_id, n_words, n_bpe_tokens "
+    f"FROM read_parquet('{_GOLDEN_DIR}/sf001_bpe_tokens.parquet')"
+)

@@ -614,3 +614,103 @@ def run_knn_graph(
             "rn": pa.array(out_r, pa.int64()),
         }
     )
+
+
+# -- BPE tokenizer twin (kgray/extras/bpe.py spec) ---------------------------
+
+BPE_EOW = "\x00"  # = kgray.extras.bpe.EOW
+
+
+def _bpe_train(word_freq: dict, num_merges: int, min_count: int) -> list:
+    """Sequential BPE trainer: Counter-over-tuples code shape (the
+    engine trains over a distributed word-frequency table; same spec:
+    chars + EOW marker, (count DESC, pair ASC) pick, left-to-right
+    non-overlapping rewrite, stop below min_count)."""
+    from collections import Counter
+
+    seqs = {w: tuple(w) + (BPE_EOW,) for w in word_freq}
+    merges = []
+    for _ in range(num_merges):
+        pc_: Counter = Counter()
+        for w, s in seqs.items():
+            f = word_freq[w]
+            for a, b in zip(s, s[1:]):
+                pc_[(a, b)] += f
+        if not pc_:
+            break
+        best = sorted(pc_.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if best[1] < min_count:
+            break
+        pair = best[0]
+        merges.append(pair)
+        nxt = {}
+        for w, s in seqs.items():
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == pair:
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            nxt[w] = tuple(out)
+        seqs = nxt
+    return merges
+
+
+def _bpe_encode_len(w: str, rank: dict) -> int:
+    """Greedy encode: repeatedly merge the lowest-rank adjacent pair
+    (all its occurrences, left to right) until none remains; return
+    the token count."""
+    s = list(w) + [BPE_EOW]
+    while len(s) > 1:
+        cands = [(rank[p], p) for p in set(zip(s, s[1:])) if p in rank]
+        if not cands:
+            break
+        _, pair = min(cands)
+        out = []
+        i = 0
+        while i < len(s):
+            if i + 1 < len(s) and (s[i], s[i + 1]) == pair:
+                out.append(s[i] + s[i + 1])
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = out
+    return len(s)
+
+
+def run_bpe_tokens(
+    docs: pa.Table, *, num_merges: int = 80, min_count: int = 2
+) -> pa.Table:
+    """(doc_id, n_words, n_bpe_tokens) under a BPE vocabulary trained
+    on the same corpus — golden for the `doc_bpe_tokens` query."""
+    from collections import Counter
+
+    texts = docs["text"].to_pylist()
+    ids = docs["doc_id"].to_pylist()
+    freq: Counter = Counter()
+    for t in texts:
+        freq.update(w for w in t.split() if w)
+    merges = _bpe_train(dict(freq), num_merges, min_count)
+    rank = {p: i for i, p in enumerate(merges)}
+    cache: dict = {}
+    out_w, out_t = [], []
+    for t in texts:
+        words = [w for w in t.split() if w]
+        tot = 0
+        for w in words:
+            if w not in cache:
+                cache[w] = _bpe_encode_len(w, rank)
+            tot += cache[w]
+        out_w.append(len(words))
+        out_t.append(tot)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(out_w, pa.int64()),
+            "n_bpe_tokens": pa.array(out_t, pa.int64()),
+        }
+    )

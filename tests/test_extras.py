@@ -717,3 +717,50 @@ def test_featurizer_decodes_png(ray_session):
         a = np.array(out["feature"][i])
         b = np.array(out["feature"][i + 4])
         assert np.array_equal(a, b), i
+
+
+def test_bpe_train_encode_parity(ray_session):
+    """BPE trainer path parity (driver loop vs distributed merge
+    rounds) and encoder parity against the sequential twin
+    (reference_impl/sketch.py), across block layouts."""
+    from collections import Counter
+
+    from kgray.extras import bpe
+    from reference_impl import sketch
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "lower lowest newer newest wider widest",
+        "low low low lower lower newest newest newest newest",
+        "a ab abc abcd abcde the the the",
+    ] * 3
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    freq = Counter(w for s in texts for w in s.split() if w)
+    twin_merges = [tuple(p) for p in sketch._bpe_train(dict(freq), 40, 2)]
+    for nblocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        m_local = bpe.train_bpe(ds, num_merges=40, min_count=2, distributed=False)
+        m_dist = bpe.train_bpe(ds, num_merges=40, min_count=2, distributed=True)
+        assert m_local == m_dist == twin_merges, nblocks
+    # encode: actor-pool stage vs twin, bit-identical counts
+    ds = ray.data.from_arrow(t).repartition(3)
+    eng = (
+        ds.map_batches(
+            bpe.BpeEncoder, fn_constructor_args=(twin_merges,),
+            concurrency=2, batch_size=4, batch_format="pyarrow",
+        )
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    twin = (
+        sketch.run_bpe_tokens(t, num_merges=40)
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert eng.equals(twin)
+    # EOW marker keeps whole-word tokens distinct: "low" as a word and
+    # "low" as a prefix of "lower" must not collide
+    enc = bpe.BpeEncoder(twin_merges)
+    assert enc.encode_word("low") >= 1

@@ -82,6 +82,7 @@ def main() -> None:
         ("sf001_kmeans", sketch.run_kmeans(emb)),
         ("sf001_semdedup", sketch.run_semdedup(emb)),
         ("sf001_knn_graph", sketch.run_knn_graph(emb)),
+        ("sf001_bpe_tokens", sketch.run_bpe_tokens(docs)),
     ]:
         _write(name, table)
 
