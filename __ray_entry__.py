@@ -108,4 +108,5 @@ def oracle_sql() -> dict[str, str]:
     # is runnable whenever the driver holds it
     q.write_multimodal_expected()
     q.write_video_expected()
+    q.write_audio_expected()
     return q.ORACLE_SQL

@@ -503,3 +503,197 @@ def expected_video_table(n: int, stride: int = 4, out_wh: int = 8) -> pa.Table:
             "px_sum": pa.array(out_s, type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# WAV/PCM audio (round 5, VERDICT r4 #6): a REAL pure-stdlib codec for
+# the audio modality, same shape as the PNG path — RIFF/WAVE container
+# with 16-bit integer PCM (the uncompressed baseline every recorder
+# can emit; format spec is public: RIFF chunks + fmt/data). Anything
+# fancier (float PCM, 8/24-bit, ADPCM, extensible) raises
+# NotImplementedError = decode_ok False, per the repo's honest-stub
+# convention. Truncated data chunks raise ValueError.
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 (frames, channels) -> canonical RIFF/WAVE PCM bytes."""
+    if samples.dtype != np.int16 or samples.ndim != 2:
+        raise ValueError("encode_wav wants int16 (frames, channels)")
+    ch = samples.shape[1]
+    data = samples.tobytes()  # interleaved little-endian int16
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE chunk walk -> (int16 (frames, channels), sample_rate).
+
+    Handles chunk ordering and odd-size pad bytes per the RIFF spec;
+    requires format tag 1 (integer PCM) at 16 bits — others raise
+    NotImplementedError; short/missing fmt or data raises ValueError."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, n = 12, len(blob)
+    fmt_info = None
+    data = None
+    while pos + 8 <= n:
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            fmt_info = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            if len(body) < size:
+                raise ValueError("truncated data chunk")
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF pads odd chunks
+    if fmt_info is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt_info
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV: only 16-bit integer PCM decoded from scratch "
+            f"(format={audio_format}, bits={bits})"
+        )
+    x = np.frombuffer(data[: (len(data) // (2 * channels)) * 2 * channels], dtype="<i2")
+    return x.reshape(-1, channels).astype(np.int16), sample_rate
+
+
+def _audio_samples(i: int, rng) -> tuple[np.ndarray, int]:
+    """Seeded per-row PCM: a sine at a row-dependent pitch plus uniform
+    noise, mono or stereo, 8000 Hz — shared by fixture and oracle."""
+    sr = 8000
+    ch = 1 + (i % 3 == 0)  # every 3rd row stereo
+    frames = int(rng.integers(400, 1600))
+    t = np.arange(frames, dtype=np.float64)
+    base = 6000.0 * np.sin(2 * np.pi * (100.0 + 7.0 * i) * t / sr)
+    out = np.empty((frames, ch), dtype=np.int16)
+    for c in range(ch):
+        noise = rng.integers(-500, 500, frames)
+        out[:, c] = np.clip(base * (1.0 - 0.25 * c) + noise, -32768, 32767).astype(
+            np.int16
+        )
+    return out, sr
+
+
+def make_audio_table(n: int, seed: int = 44) -> pa.Table:
+    """Deterministic WAV fixture (audio_id, audio: binary, format).
+    Every 23rd row (i % 23 == 5) is truncated mid-data to exercise the
+    error path end to end."""
+    rng = np.random.default_rng(seed)
+    ids, blobs = [], []
+    for i in range(n):
+        samples, sr = _audio_samples(i, rng)
+        blob = encode_wav(samples, sr)
+        if i % 23 == 5:
+            blob = blob[: len(blob) - len(blob) // 3]
+        ids.append(i)
+        blobs.append(blob)
+    return pa.table(
+        {
+            "audio_id": pa.array(ids, type=pa.int64()),
+            "audio": pa.array(blobs, type=pa.binary()),
+            "format": pa.array(["wav"] * n, type=pa.string()),
+        }
+    )
+
+
+class AudioFeaturizer:
+    """Actor-pool stage: binary WAV batch -> scalar audio features.
+    Integer features (frames, peak, zero crossings) are exact; rms is
+    the one float, rounded to 4 decimals for the string-compare
+    oracle. Failed decodes -> decode_ok False + NULL features."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["audio_id"]
+        srs, fr, pk, zc, rms, ok = [], [], [], [], [], []
+        for blob in batch["audio"].to_pylist():
+            try:
+                x, sr = decode_wav(blob)
+            except (NotImplementedError, ValueError):
+                srs.append(None)
+                fr.append(None)
+                pk.append(None)
+                zc.append(None)
+                rms.append(0.0)
+                ok.append(False)
+                continue
+            mono = x[:, 0].astype(np.float64)
+            srs.append(sr)
+            fr.append(x.shape[0])
+            # int64 abs: np.abs(int16 -32768) would overflow back to -32768
+            pk.append(int(np.abs(x.astype(np.int64)).max()) if x.size else 0)
+            zc.append(int(((mono[:-1] < 0) != (mono[1:] < 0)).sum()))
+            rms.append(round(float(np.sqrt(np.mean(mono**2))), 4) if x.size else 0.0)
+            ok.append(True)
+        return pa.table(
+            {
+                "audio_id": ids,
+                "sample_rate": pa.array(srs, type=pa.int32()),
+                "n_frames": pa.array(fr, type=pa.int64()),
+                "peak": pa.array(pk, type=pa.int32()),
+                "zero_crossings": pa.array(zc, type=pa.int64()),
+                "rms": pa.array(rms, type=pa.float64()),
+                "decode_ok": pa.array(ok, type=pa.bool_()),
+            }
+        )
+
+
+def featurize_audio(ds: Dataset, *, batch_size: int = 64, concurrency=(1, 4)) -> Dataset:
+    return ds.map_batches(
+        AudioFeaturizer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def expected_audio_table(n: int, seed: int = 44) -> pa.Table:
+    """Independent sequential oracle for `queries.q_multimodal_wav_features`:
+    shares only the sample generator with the fixture; features are
+    computed from the RAW samples (no encode/decode round trip), with
+    different code shape (dot product for rms, signbit diff for
+    crossings), so a codec bug can't cancel out."""
+    rng = np.random.default_rng(seed)
+    srs, fr, pk, zc, rms, ok = [], [], [], [], [], []
+    for i in range(n):
+        x, sr = _audio_samples(i, rng)
+        if i % 23 == 5:  # fixture truncates these: decode must fail
+            srs.append(None)
+            fr.append(None)
+            pk.append(None)
+            zc.append(None)
+            rms.append(0.0)
+            ok.append(False)
+            continue
+        mono = x[:, 0].astype(np.float64)
+        srs.append(sr)
+        fr.append(x.shape[0])
+        pk.append(int(max(abs(int(x.min())), int(x.max()))))
+        zc.append(int(np.count_nonzero(np.diff(np.signbit(mono)))))
+        rms.append(round(float(np.sqrt(np.dot(mono, mono) / len(mono))), 4))
+        ok.append(True)
+    return pa.table(
+        {
+            "audio_id": pa.array(list(range(n)), type=pa.int64()),
+            "sample_rate": pa.array(srs, type=pa.int32()),
+            "n_frames": pa.array(fr, type=pa.int64()),
+            "peak": pa.array(pk, type=pa.int32()),
+            "zero_crossings": pa.array(zc, type=pa.int64()),
+            "rms": pa.array(rms, type=pa.float64()),
+            "decode_ok": pa.array(ok, type=pa.bool_()),
+        }
+    )

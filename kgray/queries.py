@@ -7311,3 +7311,61 @@ ORACLE_SQL["doc_bpe_tokens"] = (
     "SELECT doc_id, n_words, n_bpe_tokens "
     f"FROM read_parquet('{_GOLDEN_DIR}/sf001_bpe_tokens.parquet')"
 )
+
+
+# X12c: WAV/PCM audio decode + featurize (round 5). Same oracle
+# pattern as multimodal_features: an independent sequential
+# implementation (multimodal.expected_audio_table — features computed
+# from the RAW samples, no codec round trip) writes the expected
+# parquet the SQL reads; `__ray_entry__.oracle_sql()` refreshes it.
+AUDIO_ORACLE_PATH = "/tmp/kgray_oracle/audio_expected_500.parquet"
+
+
+def write_audio_expected(n: int = 500) -> str:
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .extras import multimodal
+
+    os.makedirs(os.path.dirname(AUDIO_ORACLE_PATH), exist_ok=True)
+    pq.write_table(multimodal.expected_audio_table(n), AUDIO_ORACLE_PATH)
+    return AUDIO_ORACLE_PATH
+
+
+def q_multimodal_wav_features(sf_dir: str):
+    """X12c: real from-scratch RIFF/WAVE 16-bit-PCM decode inside an
+    actor-pool featurizer (duration/peak/zero-crossing/rms), truncated
+    blobs -> decode_ok=False with NULL features. Binary rows are wide,
+    so batch_size stays small (64) and batches are zero-copy Arrow."""
+    import ray.data as _rd
+
+    from .extras import multimodal
+
+    n = 500 if "0.01" in sf_dir else (2000 if "0.1" in sf_dir else 100)
+    ds = _rd.from_arrow(multimodal.make_audio_table(n))
+    feats = multimodal.featurize_audio(ds, batch_size=64)
+    return ops.collect_table(
+        feats,
+        schema=pa.schema(
+            [
+                ("audio_id", pa.int64()),
+                ("sample_rate", pa.int32()),
+                ("n_frames", pa.int64()),
+                ("peak", pa.int32()),
+                ("zero_crossings", pa.int64()),
+                ("rms", pa.float64()),
+                ("decode_ok", pa.bool_()),
+            ]
+        ),
+        sort_by=["audio_id"],
+    )
+
+
+SQL_MULTIMODAL_WAV = (
+    "SELECT audio_id, sample_rate, n_frames, peak, zero_crossings, rms, "
+    f"decode_ok FROM read_parquet('{AUDIO_ORACLE_PATH}')"
+)
+
+QUERIES["multimodal_wav_features"] = q_multimodal_wav_features
+ORACLE_SQL["multimodal_wav_features"] = SQL_MULTIMODAL_WAV
