@@ -7369,3 +7369,53 @@ SQL_MULTIMODAL_WAV = (
 
 QUERIES["multimodal_wav_features"] = q_multimodal_wav_features
 ORACLE_SQL["multimodal_wav_features"] = SQL_MULTIMODAL_WAV
+
+
+def q_docs_embed_corpus(sf_dir: str):
+    """X77: end-to-end "embed the corpus" inference stage — quartile
+    length buckets (thresholds from ONE combiner word-count
+    value-count table, the X59 recipe), map-side sorted batching, and
+    an actor-pool hashed-BoW stub model (weights once per actor in
+    __init__, one GEMM per micro-batch). Deterministic per doc —
+    independent of batch layout and actor count — so it's oracled
+    against the sequential twin's committed golden
+    (reference_impl/sketch.py run_doc_embed)."""
+    import numpy as np
+
+    from .extras import inference
+    from .extras.textstats import _TOKEN as _TK
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def wcount(b: pa.Table) -> pa.Table:
+        nw = pa.array(
+            [len(_TK.findall(t or "")) for t in b["text"].to_pylist()], pa.int64()
+        )
+        return pa.table({"nw": nw})
+
+    counts = ops.collect_table(
+        ops.grouped_sum_count(
+            ds.map_batches(wcount, batch_size=None, batch_format="pyarrow"),
+            keys=["nw"],
+            sums=[],
+            count_alias="n",
+        ),
+        pa.schema([("nw", pa.int64()), ("n", pa.int64())]),
+    )
+    vals = counts["nw"].to_numpy(zero_copy_only=False)
+    cnt = counts["n"].to_numpy(zero_copy_only=False)
+    order = np.argsort(vals, kind="mergesort")
+    vals, cnt = vals[order], cnt[order]
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+    thr = tuple(
+        int(vals[np.searchsorted(cum, (n - 1) * p // 4 + 1)]) for p in (1, 2, 3)
+    )
+    return inference.embed_corpus(ds, thr, batch_size=64)
+
+
+QUERIES["docs_embed_corpus"] = q_docs_embed_corpus
+ORACLE_SQL["docs_embed_corpus"] = (
+    "SELECT doc_id, bucket, n_words, emb_l2, emb_argmax, emb_c0 "
+    f"FROM read_parquet('{_GOLDEN_DIR}/sf001_doc_embed.parquet')"
+)

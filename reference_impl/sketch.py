@@ -714,3 +714,65 @@ def run_bpe_tokens(
             "n_bpe_tokens": pa.array(out_t, pa.int64()),
         }
     )
+
+
+# -- corpus-embedding twin (kgray/extras/inference.py spec) ------------------
+
+EMB_HASH_DIM = 256
+EMB_DIM = 16
+EMB_SEED = 7
+
+
+def _fnv1a64(data: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for b in data:
+        h = ((h ^ b) * 0x100000001B3) & ((1 << 64) - 1)
+    return h
+
+
+def run_doc_embed(docs: pa.Table) -> pa.Table:
+    """Sequential hashed-BoW embed twin: per-doc Counter over hashed
+    token slots, einsum projection (different code shape from the
+    engine's batched GEMM), quartile length buckets with the
+    sorted-index-(n-1)*p//4 threshold convention."""
+    import re
+    from collections import Counter
+
+    tok_re = re.compile(r"[^ \t\n\r\f]+")
+    rng = np.random.default_rng(EMB_SEED)
+    proj = rng.standard_normal((EMB_HASH_DIM, EMB_DIM))
+
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    toks = [tok_re.findall(t or "") for t in texts]
+    nws = np.array([len(ts) for ts in toks], dtype=np.int64)
+    s = np.sort(nws)
+    n = len(s)
+    thr = [int(s[(n - 1) * p // 4]) for p in (1, 2, 3)]
+
+    out_b, out_n, out_l2, out_am, out_c0 = [], [], [], [], []
+    for ts, nw in zip(toks, nws):
+        bkt = 0 if nw <= thr[0] else 1 if nw <= thr[1] else 2 if nw <= thr[2] else 3
+        c = Counter(_fnv1a64(t.encode("utf-8")) % EMB_HASH_DIM for t in ts)
+        x = np.zeros(EMB_HASH_DIM, dtype=np.float64)
+        for slot, k in c.items():
+            x[slot] = k
+        x /= max(1.0, x.sum())
+        emb = np.einsum("i,ij->j", x, proj)
+        l2 = float(np.sqrt(np.dot(emb, emb)))
+        unit = emb / max(1e-12, l2)
+        out_b.append(bkt)
+        out_n.append(int(nw))
+        out_l2.append(round(l2, 6))
+        out_am.append(int(np.argmax(unit)))
+        out_c0.append(round(float(unit[0]), 6))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "bucket": pa.array(out_b, pa.int64()),
+            "n_words": pa.array(out_n, pa.int64()),
+            "emb_l2": pa.array(out_l2, pa.float64()),
+            "emb_argmax": pa.array(out_am, pa.int64()),
+            "emb_c0": pa.array(out_c0, pa.float64()),
+        }
+    )

@@ -764,3 +764,31 @@ def test_bpe_train_encode_parity(ray_session):
     # "low" as a prefix of "lower" must not collide
     enc = bpe.BpeEncoder(twin_merges)
     assert enc.encode_word("low") >= 1
+
+
+def test_embed_corpus_layout_independent(ray_session):
+    """The inference stage's output is a pure per-doc function:
+    identical across block layouts, batch sizes, and actor counts
+    (resumability at cluster scale), and equal to the sequential twin."""
+    import pyarrow.parquet as pq
+
+    from kgray.extras import inference
+    from reference_impl import sketch
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    twin = sketch.run_doc_embed(docs).to_pandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    nws = np.sort(twin["n_words"].to_numpy())
+    n = len(nws)
+    thr = tuple(int(nws[(n - 1) * p // 4]) for p in (1, 2, 3))
+    for nblocks, bs in ((1, 256), (5, 16)):
+        ds = ray.data.from_arrow(docs).repartition(nblocks)
+        eng = (
+            inference.embed_corpus(ds, thr, batch_size=bs, concurrency=(1, 3))
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert eng.equals(twin), (nblocks, bs)

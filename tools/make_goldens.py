@@ -83,6 +83,7 @@ def main() -> None:
         ("sf001_semdedup", sketch.run_semdedup(emb)),
         ("sf001_knn_graph", sketch.run_knn_graph(emb)),
         ("sf001_bpe_tokens", sketch.run_bpe_tokens(docs)),
+        ("sf001_doc_embed", sketch.run_doc_embed(docs)),
     ]:
         _write(name, table)
 
