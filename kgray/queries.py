@@ -4622,7 +4622,7 @@ ORACLE_SQL["orders_pagerank_mass"] = _pagerank_mass_sql()
 
 
 def q_user_cms_counts(sf_dir: str):
-    """X46: Count-Min-sketch estimated event count per user. The
+    """X80: Count-Min-sketch estimated event count per user. The
     sketch is built in one combiner-bounded pass (<= depth*width rows
     ever reach the driver), broadcast ONCE via ray.put, and the
     distinct-user table is estimated map-side. Deterministic hashes
@@ -4731,7 +4731,7 @@ ORACLE_SQL["events_cube"] = SQL_EVENTS_CUBE
 
 
 def q_user_retention_cohorts(sf_dir: str):
-    """X47: cohort retention — users grouped by first-active day,
+    """X81: cohort retention — users grouped by first-active day,
     counted at each later active-day offset (the standard
     training-telemetry retention triangle). Plan: combiner-distinct
     (user, day) pairs bound the shuffle to active pairs; the cohort
@@ -4810,7 +4810,7 @@ ORACLE_SQL["user_retention_cohorts"] = SQL_USER_RETENTION
 
 
 def q_orders_profile(sf_dir: str):
-    """X48: data-quality column profile of the orders table — row /
+    """X82: data-quality column profile of the orders table — row /
     null / exact-distinct counts and native-typed min/max per column
     (see `ops.profile_columns` for the two bounded passes)."""
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
@@ -4873,7 +4873,7 @@ ORACLE_SQL["graph_triangles"] = SQL_GRAPH_TRIANGLES
 
 
 def q_events_winsorized(sf_dir: str):
-    """X49: per-group winsorized (P10/P90-clipped) mean — the robust
+    """X83: per-group winsorized (P10/P90-clipped) mean — the robust
     aggregate used to keep outliers from dominating quality scores.
     ONE combiner groupby bounds the shuffle to distinct (type, cents)
     pairs; both clip bounds come from a single cumulative walk per
@@ -4974,7 +4974,7 @@ ORACLE_SQL["events_winsorized"] = SQL_EVENTS_WINSORIZED
 
 
 def q_jaccard_prefix_pairs(sf_dir: str):
-    """X50: exact prefix-filtered set-similarity self-join (PPJoin
+    """X84: exact prefix-filtered set-similarity self-join (PPJoin
     family) — every doc pair with word-4-gram Jaccard >= 0.6. The
     brute-force SQL oracle independently validates the prefix
     filter's losslessness claim. (Runs under the DEFAULT shuffle
@@ -5009,7 +5009,7 @@ ORACLE_SQL["jaccard_prefix_pairs"] = SQL_JACCARD_PREFIX
 
 
 def q_event_transitions(sf_dir: str):
-    """X51: event-type transition matrix (first-order Markov counts)
+    """X85: event-type transition matrix (first-order Markov counts)
     — per user, consecutive event pairs in (ts, event_id) order,
     counted over the corpus. One key shuffle via `ops.group_lag`
     (vectorized per-key sort+shift), then a combiner groupby over the
@@ -5143,7 +5143,7 @@ EMB_GRID = 1 << 20  # same exact int-grid trick as the k-means family
 
 
 def q_label_centroids(sf_dir: str):
-    """X52: per-label embedding centroid sums — the vector-column
+    """X86: per-label embedding centroid sums — the vector-column
     groupby (mean-pooled class centroids). Embeddings quantize ONCE to
     the int64 grid round(x * 2^20) so per-(label, dim) sums are EXACT
     integers — bit-identical across block layouts and in SQL (the
@@ -5446,7 +5446,7 @@ ORACLE_SQL["curation_pipeline"] = SQL_CURATION_PIPELINE
 
 def q_events_mad(sf_dir: str):
     """X54: per-group median absolute deviation — the robust scale
-    estimator completing the robust-stats family (X49 winsorized
+    estimator completing the robust-stats family (X83 winsorized
     mean, X20 median). BOTH medians stay EXACT INTEGERS by working in
     doubled units: med2 = 2*median(cents) is the sum of the two
     middle values (integer even for even counts), mad4 =
@@ -5794,7 +5794,7 @@ ORACLE_SQL["bigram_lift_top20"] = SQL_BIGRAM_LIFT
 
 
 def q_quantity_percent_rank(sf_dir: str):
-    """W5: per-group PERCENT_RANK — (rank-1)/(n-1) with RANK
+    """W7: per-group PERCENT_RANK — (rank-1)/(n-1) with RANK
     semantics, computed entirely on the value histogram like O7: a
     combiner groupby bounds the shuffle to distinct (group, value)
     pairs and rank = 1 + cumulative count of smaller values is a
