@@ -685,6 +685,7 @@ def minhash_dedup_docs(
     shingle_k: int = 5,
     components: str = "auto",
     driver_pairs_gate: int = DRIVER_PAIRS_GATE,
+    stats: dict | None = None,
 ) -> Dataset:
     """Near-duplicate REMOVAL (the training-data pipeline's actual
     dedup step, on top of the pair detector): MinHash+LSH pairs ->
