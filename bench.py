@@ -42,6 +42,12 @@ BENCH_QUERIES = [
     # measure Ray's fixed join cost, not the operator — its
     # correctness is oracle-checked and its scale story is the point.
     "semdedup_embeddings",
+    # round-5 additions: BPE train+encode, the end-to-end
+    # corpus-embedding inference stage, and the fixed-memory
+    # bit-plane global quantile (4 refinement passes = 4 scans)
+    "doc_bpe_tokens",
+    "docs_embed_corpus",
+    "events_value_quantiles_refine",
 ]
 
 

@@ -392,7 +392,7 @@ def make_vocab(seed: int = SEED) -> pa.Table:
 # ---------------------------------------------------------------------------
 # on-disk caching (bench / tests reuse the same generated files)
 
-SCALES = {"tiny": 2_000, "smoke": 20_000, "bench": 600_000}
+SCALES = {"tiny": 2_000, "smoke": 20_000, "bench": 600_000, "sf1": 6_000_000}
 
 
 def corpus_path(scale: str, root: str = "/tmp/kgray_fixtures") -> str:

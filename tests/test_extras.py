@@ -828,3 +828,10 @@ def test_dropped_bucket_accounting(ray_session):
     stats3: dict = {}
     out = dedup.minhash_lsh_pairs(ds, "text", "doc_id", stats=stats3)
     assert len(out) == n * (n - 1) // 2 and stats3["dropped_buckets"] == 0
+    # ...and so does the REMOVAL entry point (regression: round 5
+    # shipped a stats= forward in minhash_dedup_docs without the
+    # parameter — NameError on every dedup_remove_docs call)
+    stats4: dict = {}
+    kept = dedup.minhash_dedup_docs(ds, "text", "doc_id", stats=stats4)
+    assert kept.count() == 1 and stats4["dropped_buckets"] == 0
+    assert dedup.minhash_dedup_docs(ds, "text", "doc_id").count() == 1
