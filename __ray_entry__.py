@@ -88,9 +88,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         if n in q.QUERIES and n not in smoke
     ]
     head = smoke + priority
-    fresh = [n for n in q.QUERIES if n not in seen and n not in head]
-    stale = [n for n in q.QUERIES if n in seen and n not in head]
-    return {n: q.QUERIES[n] for n in head + fresh + stale}
+    # Queries added AFTER the round-5 window was sized (head + the 43
+    # r1-r4-never-checked entries fill all 50 slots exactly): park them
+    # BEHIND the stale tail so they cannot displace a never-attested
+    # entry from the window. They are builder-attested via the
+    # full-registry drive (docs/full_drive_r5*.json) instead.
+    backlog = [n for n in ("multimodal_jpeg_features",) if n in q.QUERIES]
+    fresh = [
+        n for n in q.QUERIES if n not in seen and n not in head and n not in backlog
+    ]
+    stale = [n for n in q.QUERIES if n in seen and n not in head and n not in backlog]
+    return {n: q.QUERIES[n] for n in head + fresh + stale + backlog}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -103,4 +111,5 @@ def oracle_sql() -> dict[str, str]:
     q.write_multimodal_expected()
     q.write_video_expected()
     q.write_audio_expected()
+    q.write_jpeg_expected()
     return q.ORACLE_SQL

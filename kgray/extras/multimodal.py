@@ -211,6 +211,14 @@ def decode_image(blob: bytes, fmt: str) -> np.ndarray:
         return np.frombuffer(blob[16 : 16 + w * h * c], dtype=np.uint8).reshape(h, w, c)
     if fmt == "png" or blob[:8] == PNG_SIG:
         return decode_png(blob)
+    if fmt == "jpeg" or blob[:2] == b"\xff\xd8":
+        # baseline JFIF, from scratch (extras/jpeg.py); NOTE: grayscale
+        # JPEGs decode to (h, w, 1) — the 3-channel featurizer path
+        # only ever receives color streams (the gray path is
+        # codec-level, unit-tested directly)
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(blob)
     raise NotImplementedError(
         f"decode for format {fmt!r} requires an image library not present "
         "in this container (PIL/cv2); plug one in here"

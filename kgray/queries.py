@@ -7419,3 +7419,120 @@ ORACLE_SQL["docs_embed_corpus"] = (
     "SELECT doc_id, bucket, n_words, emb_l2, emb_argmax, emb_c0 "
     f"FROM read_parquet('{_GOLDEN_DIR}/sf001_doc_embed.parquet')"
 )
+
+
+# X12d: baseline JPEG codec behind the multimodal featurizer
+# (round 5). JPEG is LOSSY, so the PNG oracle trick (features of
+# decoded pixels == features of the raw fixture pixels) cannot apply.
+# Instead the decoder follows an integer-exact contract (fixed-point
+# int64 IDCT + integer BT.601 — extras/jpeg.py header) that an
+# INDEPENDENT sequential twin (reference_impl/jpeg_twin.py: bitstring
+# reader, prefix-dict Huffman, four-loop IDCT, per-pixel color)
+# re-implements; the oracle parquet is the twin's decode of the same
+# deterministic blobs. The expected table is cached by existence: the
+# twin's pure-Python IDCT costs ~20 s for 500 images and its content
+# is a pure function of (n, fixture seed, codec spec).
+JPEG_ORACLE_PATH = "/tmp/kgray_oracle/jpeg_expected_500.parquet"
+
+
+def write_jpeg_expected(n: int = 500) -> str:
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(JPEG_ORACLE_PATH):
+        from reference_impl.jpeg_twin import expected_jpeg_table
+
+        os.makedirs(os.path.dirname(JPEG_ORACLE_PATH), exist_ok=True)
+        tmp = JPEG_ORACLE_PATH + ".tmp"
+        pq.write_table(expected_jpeg_table(n), tmp)
+        os.replace(tmp, JPEG_ORACLE_PATH)
+    return JPEG_ORACLE_PATH
+
+
+def q_multimodal_jpeg_features(sf_dir: str):
+    """X12d: the seeded fixture images re-encoded as baseline 4:4:4
+    JFIF by the from-scratch encoder (quality rotates 95/85/75 by
+    img_id so all three quant-table scalings are exercised), then
+    decoded by the from-scratch integer-exact decoder inside the
+    actor-pool featurizer. Output attests the encoder's byte stream
+    length and the decoded-pixel feature norm per image."""
+    import ray.data as _rd
+
+    from .extras import multimodal
+
+    n = 500 if "0.01" in sf_dir else (2000 if "0.1" in sf_dir else 100)
+    base = multimodal.make_image_table(n)
+
+    def to_jpeg(b: pa.Table) -> pa.Table:
+        from .extras import jpeg as _j
+
+        ids = b["img_id"].to_pylist()
+        blobs = [
+            _j.encode_jpeg(
+                multimodal.decode_image(blob, fmt), quality=(95, 85, 75)[i % 3]
+            )
+            for i, blob, fmt in zip(
+                ids, b["image"].to_pylist(), b["format"].to_pylist()
+            )
+        ]
+        return pa.table(
+            {
+                "img_id": b["img_id"],
+                "image": pa.array(blobs, pa.binary()),
+                "format": pa.array(["jpeg"] * len(blobs)),
+                "jpeg_bytes": pa.array([len(x) for x in blobs], pa.int64()),
+            }
+        )
+
+    ds = _rd.from_arrow(base).map_batches(
+        to_jpeg, batch_size=64, batch_format="pyarrow"
+    )
+    feats = multimodal.featurize_images(ds, batch_size=64)
+
+    def flatten(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        norms = [
+            round(float(_np.linalg.norm(_np.asarray(v))), 4)
+            if v is not None
+            else 0.0
+            for v in b["feature"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "img_id": b["img_id"],
+                "decode_ok": b["decode_ok"],
+                "feat_norm": pa.array(norms, type=pa.float64()),
+            }
+        )
+
+    # jpeg_bytes rides the encode stage; decode features ride the
+    # featurizer — distributed hash join on img_id, bounded collect
+    joined = ops.hash_join(
+        ds.select_columns(["img_id", "jpeg_bytes"]),
+        feats.map_batches(flatten, batch_format="pyarrow"),
+        on=("img_id",),
+        num_partitions=ops.default_join_partitions(),
+    )
+    return ops.collect_table(
+        joined,
+        schema=pa.schema(
+            [
+                ("img_id", pa.int64()),
+                ("jpeg_bytes", pa.int64()),
+                ("decode_ok", pa.bool_()),
+                ("feat_norm", pa.float64()),
+            ]
+        ),
+        sort_by=["img_id"],
+    )
+
+
+SQL_MULTIMODAL_JPEG = (
+    "SELECT img_id, jpeg_bytes, decode_ok, feat_norm "
+    f"FROM read_parquet('{JPEG_ORACLE_PATH}')"
+)
+
+QUERIES["multimodal_jpeg_features"] = q_multimodal_jpeg_features
+ORACLE_SQL["multimodal_jpeg_features"] = SQL_MULTIMODAL_JPEG

@@ -835,3 +835,109 @@ def test_dropped_bucket_accounting(ray_session):
     kept = dedup.minhash_dedup_docs(ds, "text", "doc_id", stats=stats4)
     assert kept.count() == 1 and stats4["dropped_buckets"] == 0
     assert dedup.minhash_dedup_docs(ds, "text", "doc_id").count() == 1
+
+
+def test_jpeg_roundtrip_and_profile_gates():
+    """From-scratch baseline JPEG codec (X12d). Lossy, so round-trip
+    asserts bounded error on a smooth gradient (DCT-friendly) rather
+    than equality; profile gates fail loudly. No Ray needed."""
+    import struct as st
+
+    import numpy as np
+    import pytest
+
+    from kgray.extras import jpeg
+
+    grad = (
+        np.add.outer(np.arange(24) * 3, np.arange(17) * 2)[..., None]
+        + np.array([0, 40, 90])
+    ).astype(np.uint8)
+    prev_bytes = None
+    for q in (95, 85, 50):
+        blob = jpeg.encode_jpeg(grad, quality=q)
+        out = jpeg.decode_jpeg(blob)
+        assert out.shape == grad.shape
+        err = np.abs(out.astype(int) - grad.astype(int)).max()
+        assert err <= {95: 4, 85: 6, 50: 12}[q], (q, err)
+        if prev_bytes is not None:  # lower quality never grows the stream
+            assert len(blob) <= prev_bytes
+        prev_bytes = len(blob)
+    # grayscale single-component scan
+    g = np.random.default_rng(3).integers(0, 256, (9, 13, 1), dtype=np.uint8)
+    gout = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=95))
+    assert gout.shape == g.shape
+    # progressive (SOF2) rejected as NotImplementedError, not garbage
+    blob = bytearray(jpeg.encode_jpeg(grad))
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg(bytes(blob))
+    # truncated scan fails as ValueError
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(jpeg.encode_jpeg(grad)[:-30])
+    # subsampled-chroma streams (not emitted by this encoder) gate too
+    blob = bytearray(jpeg.encode_jpeg(grad))
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 11] = 0x22  # comp 1 sampling 2x2
+    with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg(bytes(blob))
+    _ = st  # quiet linters
+
+
+def test_jpeg_twin_bit_parity():
+    """The engine decoder (numpy int64 matmuls) and the independent
+    sequential twin (bitstring reader + four-loop IDCT) are bit-exact
+    on the fixture corpus across all three bench qualities — the
+    integer-IDCT contract that gives multimodal_jpeg_features its
+    oracle."""
+    import numpy as np
+
+    from kgray.extras import jpeg, multimodal as mm
+    from reference_impl.jpeg_twin import decode_jpeg_twin
+
+    base = mm.make_image_table(24)
+    for i in range(24):
+        img = mm.decode_image(base["image"][i].as_py(), "kgim")
+        blob = jpeg.encode_jpeg(img, quality=(95, 85, 75)[i % 3])
+        assert np.array_equal(jpeg.decode_jpeg(blob), decode_jpeg_twin(blob)), i
+    g = np.random.default_rng(5).integers(0, 256, (11, 19, 1), dtype=np.uint8)
+    gb = jpeg.encode_jpeg(g, quality=85)
+    assert np.array_equal(jpeg.decode_jpeg(gb), decode_jpeg_twin(gb))
+
+
+def test_featurizer_decodes_jpeg(ray_session):
+    """REAL JPEG payloads flow through the actor-pool featurizer end
+    to end (decode_ok true, nonzero features); a corrupted payload
+    takes the error-column convention instead of killing the task."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray.extras import jpeg, multimodal as mm
+
+    base = mm.make_image_table(4)
+    blobs = [
+        jpeg.encode_jpeg(
+            mm.decode_image(base["image"][i].as_py(), "kgim"), quality=95
+        )
+        for i in range(4)
+    ]
+    blobs.append(blobs[0][:40])  # truncated
+    t = pa.table(
+        {
+            "img_id": pa.array(list(range(5)), pa.int64()),
+            "image": pa.array(blobs, pa.binary()),
+            "format": pa.array(["jpeg"] * 5),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(
+            mm.ImageFeaturizer, concurrency=1, batch_size=8,
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("img_id", ignore_index=True)
+    )
+    assert out["decode_ok"][:4].all() and not out["decode_ok"][4]
+    assert all(np.linalg.norm(np.array(out["feature"][i])) > 0 for i in range(4))
