@@ -228,9 +228,21 @@ def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(np.stack([y, cb, cr], axis=-1)), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+def _box_subsample(p: np.ndarray) -> np.ndarray:
+    """2x2 integer box mean with +2 rounding (the 4:2:0 chroma spec
+    the decoders never see — encoder-only, but pinned for stability)."""
+    h, w = p.shape
+    e = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge").astype(np.int64)
+    return (
+        (e[0::2, 0::2] + e[0::2, 1::2] + e[1::2, 0::2] + e[1::2, 1::2] + 2) >> 2
+    ).astype(np.uint8)
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85, subsample: bool = False) -> bytes:
     """Baseline sequential JFIF encode of an (h, w, 3) RGB or (h, w, 1)
-    grayscale uint8 array, 4:4:4, Annex-K Huffman tables."""
+    grayscale uint8 array, Annex-K Huffman tables. `subsample=True`
+    emits 4:2:0 (Y at 2x2, box-mean chroma — the profile nearly all
+    real-world JPEGs use); default is 4:4:4."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim != 3 or img.shape[2] not in (1, 3):
         raise ValueError("encode_jpeg: need (h, w, 1|3) uint8")
@@ -244,54 +256,76 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
         else [(_ycc := _rgb_to_ycbcr(img))[..., 0], _ycc[..., 1], _ycc[..., 2]]
     )
     qtabs = [qy] + ([qc, qc] if ncomp == 3 else [])
-
-    # pad each plane to 8-multiples by edge replication
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    padded = [
-        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64) - 128.0
-        for p in planes
-    ]
+    if subsample and ncomp == 3:
+        sf = [(2, 2), (1, 1), (1, 1)]
+        planes = [planes[0], _box_subsample(planes[1]), _box_subsample(planes[2])]
+    else:
+        sf = [(1, 1)] * ncomp
+    max_h = max(s[0] for s in sf)
+    max_v = max(s[1] for s in sf)
+    mcu_rows = (h + 8 * max_v - 1) // (8 * max_v)
+    mcu_cols = (w + 8 * max_h - 1) // (8 * max_h)
+    padded = []
+    for ci, p in enumerate(planes):
+        hi, vi = sf[ci]
+        th, tw = mcu_rows * vi * 8, mcu_cols * hi * 8
+        padded.append(
+            np.pad(
+                p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+            ).astype(np.float64)
+            - 128.0
+        )
 
     dc_tabs = [_huff_codes(*DC_LUMA)] + ([_huff_codes(*DC_CHROMA)] * 2 if ncomp == 3 else [])
     ac_tabs = [_huff_codes(*AC_LUMA)] + ([_huff_codes(*AC_CHROMA)] * 2 if ncomp == 3 else [])
 
     bw = _BitWriter()
     pred = [0] * ncomp
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci in range(ncomp):
-                block = padded[ci][by : by + 8, bx : bx + 8]
-                f = _B_FLOAT @ block @ _B_FLOAT.T  # orthonormal fDCT
-                zz = np.rint(f.reshape(-1)[ZIGZAG] / qtabs[ci].astype(np.float64)).astype(
-                    np.int64
-                )
-                # DC
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                cat = _category(diff)
-                code, ln = dc_tabs[ci][cat]
+
+    def put_block(block: np.ndarray, ci: int):
+        f = _B_FLOAT @ block @ _B_FLOAT.T  # orthonormal fDCT
+        zz = np.rint(f.reshape(-1)[ZIGZAG] / qtabs[ci].astype(np.float64)).astype(
+            np.int64
+        )
+        # DC
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        cat = _category(diff)
+        code, ln = dc_tabs[ci][cat]
+        bw.put(code, ln)
+        if cat:
+            bw.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+        # AC: run-length of zeros + category
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_tabs[ci][0xF0]  # ZRL
                 bw.put(code, ln)
-                if cat:
-                    bw.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-                # AC: run-length of zeros + category
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_tabs[ci][0xF0]  # ZRL
-                        bw.put(code, ln)
-                        run -= 16
-                    cat = _category(v)
-                    code, ln = ac_tabs[ci][(run << 4) | cat]
-                    bw.put(code, ln)
-                    bw.put(v if v > 0 else v + (1 << cat) - 1, cat)
-                    run = 0
-                if run:
-                    code, ln = ac_tabs[ci][0x00]  # EOB
-                    bw.put(code, ln)
+                run -= 16
+            cat = _category(v)
+            code, ln = ac_tabs[ci][(run << 4) | cat]
+            bw.put(code, ln)
+            bw.put(v if v > 0 else v + (1 << cat) - 1, cat)
+            run = 0
+        if run:
+            code, ln = ac_tabs[ci][0x00]  # EOB
+            bw.put(code, ln)
+
+    # T.81 MCU interleave: per component, blocks left-to-right then
+    # top-to-bottom within the MCU
+    for mr in range(mcu_rows):
+        for mc in range(mcu_cols):
+            for ci in range(ncomp):
+                hi, vi = sf[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        r0 = (mr * vi + by) * 8
+                        c0 = (mc * hi + bx) * 8
+                        put_block(padded[ci][r0 : r0 + 8, c0 : c0 + 8], ci)
     scan = bw.done()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -303,7 +337,10 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     if ncomp == 3:
         out.append(seg(0xFFDB, b"\x01" + bytes(int(x) for x in qc)))
     comp_spec = b"".join(
-        struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1) for ci in range(ncomp)
+        struct.pack(
+            "BBB", ci + 1, (sf[ci][0] << 4) | sf[ci][1], 0 if ci == 0 else 1
+        )
+        for ci in range(ncomp)
     )
     out.append(seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + comp_spec))
     dht = [(0x00, DC_LUMA), (0x10, AC_LUMA)]
@@ -370,8 +407,9 @@ def _decode_sym(br: _BitReader, table: dict) -> int:
 def decode_jpeg(blob: bytes) -> np.ndarray:
     """Baseline sequential JFIF decode to an (h, w, 3|1) uint8 array,
     integer-exact per the module contract (see header). Supports
-    SOF0, 8-bit, 1 or 3 components at 1x1 sampling, no restart
-    intervals; other profiles raise NotImplementedError."""
+    SOF0, 8-bit, 1 or 3 components, 4:4:4 or 4:2:0 sampling
+    (replication upsample), no restart intervals; other profiles
+    raise NotImplementedError."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("JPEG: bad SOI")
     pos = 2
@@ -413,9 +451,12 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise NotImplementedError("JPEG: only 4:4:4 (1x1 sampling)")
-                comps.append((cid, tq))
+                comps.append((cid, tq, samp >> 4, samp & 0x0F))
+            samps = [(c[2], c[3]) for c in comps]
+            if samps != [(1, 1)] * nc and samps != [(2, 2), (1, 1), (1, 1)]:
+                raise NotImplementedError(
+                    "JPEG: only 4:4:4 or 4:2:0 sampling"
+                )
             sof = (h, w, comps)
         elif marker == 0xDD:  # DRI
             if struct.unpack(">H", body[:2])[0]:
@@ -436,8 +477,15 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         raise NotImplementedError("JPEG: only 1- or 3-component scans")
 
     br = _BitReader(blob, pos)
-    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    planes = [np.zeros((ph, pw), dtype=np.uint8) for _ in range(ncomp)]
+    sf = [(c[2], c[3]) for c in comps]
+    max_h = max(s[0] for s in sf)
+    max_v = max(s[1] for s in sf)
+    mcu_rows = (h + 8 * max_v - 1) // (8 * max_v)
+    mcu_cols = (w + 8 * max_h - 1) // (8 * max_h)
+    planes = [
+        np.zeros((mcu_rows * vi * 8, mcu_cols * hi * 8), dtype=np.uint8)
+        for hi, vi in sf
+    ]
     dc_tables, ac_tables, qtabs = [], [], []
     for ci in range(ncomp):
         td_ta = scan_comp[ci][1]
@@ -446,35 +494,49 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         qtabs.append(qt[comps[ci][1]])
     pred = [0] * ncomp
     unzz = np.empty(64, dtype=np.int64)
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+    for mr in range(mcu_rows):
+        for mc in range(mcu_cols):
             for ci in range(ncomp):
-                zz = np.zeros(64, dtype=np.int64)
-                cat = _decode_sym(br, dc_tables[ci])
-                diff = _extend(br.read(cat), cat) if cat else 0
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = _decode_sym(br, ac_tables[ci])
-                    if sym == 0x00:  # EOB
-                        break
-                    run, cat = sym >> 4, sym & 0x0F
-                    if cat == 0:
-                        if run != 15:
-                            raise ValueError("JPEG: bad AC symbol")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG: AC index overflow")
-                    zz[k] = _extend(br.read(cat), cat)
-                    k += 1
-                unzz[ZIGZAG] = zz * qtabs[ci]
-                planes[ci][by : by + 8, bx : bx + 8] = idct_block_int(
-                    unzz.reshape(8, 8)
-                )
-    planes = [p[:h, :w] for p in planes]
+                hi, vi = sf[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        zz = np.zeros(64, dtype=np.int64)
+                        cat = _decode_sym(br, dc_tables[ci])
+                        diff = _extend(br.read(cat), cat) if cat else 0
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _decode_sym(br, ac_tables[ci])
+                            if sym == 0x00:  # EOB
+                                break
+                            run, cat = sym >> 4, sym & 0x0F
+                            if cat == 0:
+                                if run != 15:
+                                    raise ValueError("JPEG: bad AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG: AC index overflow")
+                            zz[k] = _extend(br.read(cat), cat)
+                            k += 1
+                        unzz[ZIGZAG] = zz * qtabs[ci]
+                        r0 = (mr * vi + by) * 8
+                        c0 = (mc * hi + bx) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = idct_block_int(
+                            unzz.reshape(8, 8)
+                        )
+    # upsample subsampled components by replication (chroma sample for
+    # pixel (r, c) is plane[r * vi // max_v][c * hi // max_h] — the
+    # integer-exact nearest/floor rule the twin mirrors), then crop
+    full = []
+    for ci in range(ncomp):
+        hi, vi = sf[ci]
+        p = planes[ci]
+        if (hi, vi) != (max_h, max_v):
+            p = np.repeat(np.repeat(p, max_v // vi, axis=0), max_h // hi, axis=1)
+        full.append(p[:h, :w])
     if ncomp == 1:
-        return planes[0][..., None]
-    return ycbcr_to_rgb_int(planes[0], planes[1], planes[2])
+        return full[0][..., None]
+    return ycbcr_to_rgb_int(full[0], full[1], full[2])

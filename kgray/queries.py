@@ -7431,8 +7431,9 @@ ORACLE_SQL["docs_embed_corpus"] = (
 # re-implements; the oracle parquet is the twin's decode of the same
 # deterministic blobs. The expected table is cached by existence: the
 # twin's pure-Python IDCT costs ~20 s for 500 images and its content
-# is a pure function of (n, fixture seed, codec spec).
-JPEG_ORACLE_PATH = "/tmp/kgray_oracle/jpeg_expected_500.parquet"
+# is a pure function of (n, fixture seed, codec spec) — bump the
+# filename suffix whenever that spec changes ('a' = 4:2:0 rotation).
+JPEG_ORACLE_PATH = "/tmp/kgray_oracle/jpeg_expected_500a.parquet"
 
 
 def write_jpeg_expected(n: int = 500) -> str:
@@ -7451,12 +7452,13 @@ def write_jpeg_expected(n: int = 500) -> str:
 
 
 def q_multimodal_jpeg_features(sf_dir: str):
-    """X12d: the seeded fixture images re-encoded as baseline 4:4:4
-    JFIF by the from-scratch encoder (quality rotates 95/85/75 by
-    img_id so all three quant-table scalings are exercised), then
-    decoded by the from-scratch integer-exact decoder inside the
-    actor-pool featurizer. Output attests the encoder's byte stream
-    length and the decoded-pixel feature norm per image."""
+    """X12d: the seeded fixture images re-encoded as baseline JFIF by
+    the from-scratch encoder (quality rotates 95/85/75 by img_id so
+    all three quant-table scalings are exercised; odd img_ids emit
+    4:2:0 subsampled chroma — the real-world profile — and even ones
+    4:4:4), then decoded by the from-scratch integer-exact decoder
+    inside the actor-pool featurizer. Output attests the encoder's
+    byte stream length and the decoded-pixel feature norm per image."""
     import ray.data as _rd
 
     from .extras import multimodal
@@ -7470,7 +7472,9 @@ def q_multimodal_jpeg_features(sf_dir: str):
         ids = b["img_id"].to_pylist()
         blobs = [
             _j.encode_jpeg(
-                multimodal.decode_image(blob, fmt), quality=(95, 85, 75)[i % 3]
+                multimodal.decode_image(blob, fmt),
+                quality=(95, 85, 75)[i % 3],
+                subsample=(i % 2 == 1),
             )
             for i, blob, fmt in zip(
                 ids, b["image"].to_pylist(), b["format"].to_pylist()

@@ -119,10 +119,13 @@ def decode_jpeg_twin(blob: bytes) -> np.ndarray:
             h = (body[1] << 8) | body[2]
             w = (body[3] << 8) | body[4]
             nc = body[5]
+            samps = []
             for c in range(nc):
-                if body[7 + 3 * c] != 0x11:
-                    raise NotImplementedError("twin: 4:4:4 only")
+                s = body[7 + 3 * c]
+                samps.append((s >> 4, s & 15))
                 comp_q.append(body[8 + 3 * c])
+            if samps != [(1, 1)] * nc and samps != [(2, 2), (1, 1), (1, 1)]:
+                raise NotImplementedError("twin: 4:4:4 or 4:2:0 only")
             dims = (h, w, nc)
         elif marker in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("twin: baseline only")
@@ -136,56 +139,71 @@ def decode_jpeg_twin(blob: bytes) -> np.ndarray:
     if dims is None:
         raise ValueError("twin: missing SOF")
     h, w, nc = dims
+    max_h = max(s[0] for s in samps)
+    max_v = max(s[1] for s in samps)
     bitgen = _bits_of_scan(blob, i)
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    planes = [[[0] * (bw * 8) for _ in range(bh * 8)] for _ in range(nc)]
+    mcu_rows = (h + 8 * max_v - 1) // (8 * max_v)
+    mcu_cols = (w + 8 * max_h - 1) // (8 * max_h)
+    planes = [
+        [[0] * (mcu_cols * hi * 8) for _ in range(mcu_rows * vi * 8)]
+        for hi, vi in samps
+    ]
     pred = [0] * nc
-    for mby in range(bh):
-        for mbx in range(bw):
+    for mby in range(mcu_rows):
+        for mbx in range(mcu_cols):
             for c in range(nc):
+                hi, vi = samps[c]
                 dc_t = huff[(0, scan_tabs[c] >> 4)]
                 ac_t = huff[(1, scan_tabs[c] & 15)]
                 q = qt[comp_q[c]]
-                zz = [0] * 64
-                cat = _read_sym(bitgen, dc_t)
-                pred[c] += _read_amp(bitgen, cat)
-                zz[0] = pred[c]
-                k = 1
-                while k < 64:
-                    sym = _read_sym(bitgen, ac_t)
-                    if sym == 0:
-                        break
-                    run, cat = sym >> 4, sym & 15
-                    if cat == 0:
-                        k += 16
-                        continue
-                    k += run
-                    zz[k] = _read_amp(bitgen, cat)
-                    k += 1
-                # dequant + unzigzag into a natural-order 8x8
-                F = [[0] * 8 for _ in range(8)]
-                for k in range(64):
-                    nat = _ZZ[k]
-                    F[nat // 8][nat % 8] = zz[k] * q[k]
-                # fixed-point IDCT, four explicit loops
-                for x in range(8):
-                    for y in range(8):
-                        acc = 0
-                        for u in range(8):
-                            tux = T[u][x]
-                            for v in range(8):
-                                acc += tux * T[v][y] * F[u][v]
-                        px = ((acc + (1 << 23)) >> 24) + 128
-                        planes[c][mby * 8 + x][mbx * 8 + y] = (
-                            0 if px < 0 else (255 if px > 255 else px)
-                        )
+                for sub_y in range(vi):
+                    for sub_x in range(hi):
+                        zz = [0] * 64
+                        cat = _read_sym(bitgen, dc_t)
+                        pred[c] += _read_amp(bitgen, cat)
+                        zz[0] = pred[c]
+                        k = 1
+                        while k < 64:
+                            sym = _read_sym(bitgen, ac_t)
+                            if sym == 0:
+                                break
+                            run, cat = sym >> 4, sym & 15
+                            if cat == 0:
+                                k += 16
+                                continue
+                            k += run
+                            zz[k] = _read_amp(bitgen, cat)
+                            k += 1
+                        # dequant + unzigzag into a natural-order 8x8
+                        F = [[0] * 8 for _ in range(8)]
+                        for k in range(64):
+                            nat = _ZZ[k]
+                            F[nat // 8][nat % 8] = zz[k] * q[k]
+                        # fixed-point IDCT, four explicit loops
+                        for x in range(8):
+                            for y in range(8):
+                                acc = 0
+                                for u in range(8):
+                                    tux = T[u][x]
+                                    for v in range(8):
+                                        acc += tux * T[v][y] * F[u][v]
+                                px = ((acc + (1 << 23)) >> 24) + 128
+                                planes[c][(mby * vi + sub_y) * 8 + x][
+                                    (mbx * hi + sub_x) * 8 + y
+                                ] = 0 if px < 0 else (255 if px > 255 else px)
     if nc == 1:
         arr = np.array(planes[0], dtype=np.uint8)[:h, :w]
         return arr[..., None]
     out = np.zeros((h, w, 3), dtype=np.uint8)
+    hy, vy = samps[0]
+    hc, vc = samps[1]
     for r in range(h):
         for cc in range(w):
-            y_, cb, cr = planes[0][r][cc], planes[1][r][cc] - 128, planes[2][r][cc] - 128
+            # subsampled components read their floor-scaled sample —
+            # the same replication rule as the engine's np.repeat
+            y_ = planes[0][r * vy // max_v][cc * hy // max_h]
+            cb = planes[1][r * vc // max_v][cc * hc // max_h] - 128
+            cr = planes[2][r * vc // max_v][cc * hc // max_h] - 128
             rr = y_ + ((91881 * cr + 32768) >> 16)
             gg = y_ - ((22554 * cb + 46802 * cr + 32768) >> 16)
             bb = y_ + ((116130 * cb + 32768) >> 16)
@@ -216,7 +234,9 @@ def expected_jpeg_table(n: int):
         w = int.from_bytes(blob[4:8], "big")
         h = int.from_bytes(blob[8:12], "big")
         raw = np.frombuffer(blob[16:], dtype=np.uint8).reshape(h, w, 3)
-        jblob = encode_jpeg(raw, quality=(95, 85, 75)[i % 3])
+        jblob = encode_jpeg(
+            raw, quality=(95, 85, 75)[i % 3], subsample=(i % 2 == 1)
+        )
         img = decode_jpeg_twin(jblob)
         hist = np.zeros((3, 8), dtype=np.float64)
         flat = img.reshape(-1, 3)

@@ -383,8 +383,14 @@ def test_multimodal_plumbing(ray_session):
     assert not out["decode_ok"].iloc[0]
     with pytest.raises(ValueError):
         multimodal.decode_image(b"\x89PNGxxxx", "png")
-    with pytest.raises(NotImplementedError):
+    # JPEG gained a real from-scratch codec in round 5 (X12d): a
+    # malformed stream is now a ValueError like PNG's, and the
+    # honest-stub NotImplementedError moved to codecs that genuinely
+    # have no implementation in this container
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\xff\xd8\xff\xe0jpegish", "jpeg")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"RIFFxxxxWEBP", "webp")
 
 
 def test_connected_components_and_dedup_remove(ray_session):
@@ -875,10 +881,17 @@ def test_jpeg_roundtrip_and_profile_gates():
     # truncated scan fails as ValueError
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(jpeg.encode_jpeg(grad)[:-30])
-    # subsampled-chroma streams (not emitted by this encoder) gate too
+    # 4:2:0 (the real-world profile): decodes, bounded error on the
+    # smooth gradient (chroma is nearly constant there)
+    for sub_q in (95, 85):
+        blob = jpeg.encode_jpeg(grad, quality=sub_q, subsample=True)
+        out = jpeg.decode_jpeg(blob)
+        err420 = np.abs(out.astype(int) - grad.astype(int)).max()
+        assert out.shape == grad.shape and err420 <= 8, (sub_q, err420)
+    # 4:2:2-style sampling (not 4:4:4 nor 4:2:0) still gates
     blob = bytearray(jpeg.encode_jpeg(grad))
     sof = blob.find(b"\xff\xc0")
-    blob[sof + 11] = 0x22  # comp 1 sampling 2x2
+    blob[sof + 11] = 0x21  # comp 1 sampling 2x1
     with pytest.raises(NotImplementedError):
         jpeg.decode_jpeg(bytes(blob))
     _ = st  # quiet linters
@@ -898,7 +911,9 @@ def test_jpeg_twin_bit_parity():
     base = mm.make_image_table(24)
     for i in range(24):
         img = mm.decode_image(base["image"][i].as_py(), "kgim")
-        blob = jpeg.encode_jpeg(img, quality=(95, 85, 75)[i % 3])
+        blob = jpeg.encode_jpeg(
+            img, quality=(95, 85, 75)[i % 3], subsample=(i % 2 == 1)
+        )
         assert np.array_equal(jpeg.decode_jpeg(blob), decode_jpeg_twin(blob)), i
     g = np.random.default_rng(5).integers(0, 256, (11, 19, 1), dtype=np.uint8)
     gb = jpeg.encode_jpeg(g, quality=85)
