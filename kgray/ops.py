@@ -1345,14 +1345,29 @@ def _from_ordered_u64(u: int, dtype: np.dtype):
 def global_quantile_refine(ds: Dataset, col: str, q: float = 0.5):
     """Exact global discrete quantile (value at ascending-sort index
     floor((n-1)*q), the `global_quantile_disc` definition) over an
-    UNBOUNDED-domain int64/float64 column: 1 count pass + 4 bit-plane
-    refinement passes, never a corpus sort, never an O(distinct)
-    collect. NULLs are excluded (as SQL quantiles do); NaNs are not
-    supported (IEEE total-order caveat, documented).
+    UNBOUNDED-domain int64/float64 column — see
+    `global_quantiles_refine`, of which this is the one-quantile
+    wrapper."""
+    return global_quantiles_refine(ds, col, (q,))[0]
+
+
+def global_quantiles_refine(ds: Dataset, col: str, qs) -> list:
+    """Exact global discrete quantiles over an UNBOUNDED-domain
+    int64/float64 column: 1 count pass + 4 bit-plane refinement
+    passes SHARED across all requested quantiles (a p50+p90 request
+    costs the same 5 corpus scans as a lone median — each pass
+    histograms every UNIQUE candidate prefix once, and early passes
+    are shared by construction: all quantiles start at prefix 0).
+    Never a corpus sort, never an O(distinct) collect. NULLs are
+    excluded (as SQL quantiles do); NaNs are not supported (IEEE
+    total-order caveat, documented).
 
     Scale shape: each pass is a map-side np.bincount over the 2^16
-    bucket space of the rows matching the resolved prefix, merged by a
-    combiner groupby bounded at 65,536 rows."""
+    bucket space of the rows matching each resolved prefix, merged by
+    a combiner groupby bounded at (unique prefixes) x 65,536 rows."""
+    qs = list(qs)
+    if not qs:
+        return []
     npass = 64 // REFINE_BITS
     mask = np.uint64((1 << REFINE_BITS) - 1)
 
@@ -1367,56 +1382,69 @@ def global_quantile_refine(ds: Dataset, col: str, q: float = 0.5):
         ).take_all()
     )
     if n == 0:
-        raise ValueError("global_quantile_refine over an empty column")
-    target = int(np.floor((n - 1) * q))
+        raise ValueError("global_quantiles_refine over an empty column")
+    targets = [int(np.floor((n - 1) * q)) for q in qs]
 
-    np_dtype: np.dtype | None = None
-    prefix = np.uint64(0)  # resolved high bits, right-aligned
-    below = 0  # rows strictly below the candidate range
+    # pin the numpy dtype once from the schema (ray Schema wrapper
+    # exposes parallel names/types lists)
+    s = ds.schema()
+    t = dict(zip(s.names, s.types))[col]
+    np_dtype = np.dtype(np.int64) if pa.types.is_integer(t) else np.dtype(np.float64)
+
+    # per-quantile resolved high bits (right-aligned) and the count of
+    # rows strictly below each candidate range
+    prefixes = [np.uint64(0)] * len(qs)
+    belows = [0] * len(qs)
     for p in range(npass):
         shift = np.uint64(64 - REFINE_BITS * (p + 1))
         known = np.uint64(REFINE_BITS * p)
+        uniq = sorted({int(pf) for pf in prefixes})
 
-        def hist(b: pa.Table, _shift=shift, _known=known, _prefix=prefix) -> pa.Table:
+        def hist(
+            b: pa.Table, _shift=shift, _known=known, _uniq=tuple(uniq)
+        ) -> pa.Table:
             arr = b[col].combine_chunks().drop_null()
             x = arr.to_numpy(zero_copy_only=False)
             x = x.astype(np.int64) if x.dtype.kind in "iu" else x.astype(np.float64)
             u = _ordered_u64(x)
-            if _known:
-                u = u[(u >> (_shift + np.uint64(REFINE_BITS))) == _prefix]
-            bucket = ((u >> _shift) & mask).astype(np.int64)
-            cnt = np.bincount(bucket, minlength=1 << REFINE_BITS)
-            nz = np.flatnonzero(cnt)
+            pfx_out, bkt_out, n_out = [], [], []
+            for pf in _uniq:
+                uu = (
+                    u[(u >> (_shift + np.uint64(REFINE_BITS))) == np.uint64(pf)]
+                    if _known
+                    else u
+                )
+                bucket = ((uu >> _shift) & mask).astype(np.int64)
+                cnt = np.bincount(bucket, minlength=1 << REFINE_BITS)
+                nz = np.flatnonzero(cnt)
+                pfx_out.append(np.full(len(nz), pf, dtype=np.int64))
+                bkt_out.append(nz.astype(np.int64))
+                n_out.append(cnt[nz].astype(np.int64))
             return pa.table(
                 {
-                    "bucket": pa.array(nz.astype(np.int64)),
-                    "n": pa.array(cnt[nz].astype(np.int64)),
+                    "pfx": pa.array(np.concatenate(pfx_out)),
+                    "bucket": pa.array(np.concatenate(bkt_out)),
+                    "n": pa.array(np.concatenate(n_out)),
                 }
             )
 
-        if np_dtype is None:
-            # pin the numpy dtype once from the schema (ray Schema
-            # wrapper exposes parallel names/types lists)
-            s = ds.schema()
-            t = dict(zip(s.names, s.types))[col]
-            np_dtype = np.dtype(np.int64) if pa.types.is_integer(t) else np.dtype(np.float64)
-
         agg = (
             ds.map_batches(hist, batch_size=None, batch_format="pyarrow")
-            .groupby("bucket")
+            .groupby(["pfx", "bucket"])
             .aggregate(Sum("n"))
         )
-        rows = sorted(
-            (int(r["bucket"]), int(r["sum(n)"])) for r in agg.take_all()
-        )  # <= 2^REFINE_BITS rows
-        cum = below
-        for bkt, c in rows:
-            if cum + c > target:
-                prefix = (prefix << np.uint64(REFINE_BITS)) | np.uint64(bkt)
-                below = cum
-                break
-            cum += c
-    return _from_ordered_u64(int(prefix), np_dtype)
+        by_pfx: dict[int, list] = {pf: [] for pf in uniq}
+        for r in agg.take_all():  # <= uniq x 2^REFINE_BITS rows
+            by_pfx[int(r["pfx"])].append((int(r["bucket"]), int(r["sum(n)"])))
+        for qi in range(len(qs)):
+            cum = belows[qi]
+            for bkt, c in sorted(by_pfx[int(prefixes[qi])]):
+                if cum + c > targets[qi]:
+                    prefixes[qi] = (prefixes[qi] << np.uint64(REFINE_BITS)) | np.uint64(bkt)
+                    belows[qi] = cum
+                    break
+                cum += c
+    return [_from_ordered_u64(int(pf), np_dtype) for pf in prefixes]
 
 
 # ---------------------------------------------------------------------------

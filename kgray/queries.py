@@ -7248,14 +7248,15 @@ def q_events_value_quantiles_refine(sf_dir: str):
     """X75: exact global p50/p90 of `events.value` — a CONTINUOUS
     double column with (potentially) corpus-many distinct values, so
     the O(distinct) value-count plan of `global_quantile_disc` does
-    not apply. `ops.global_quantile_refine` finds each rank in 4
-    fixed-memory bit-plane refinement passes (2^16-bounded combiner
-    histograms); nothing here scales with rows or distinct values.
-    The single pruned column re-streams per pass (no materialize: at
-    corpus scale even one float64 column is too big to pin)."""
+    not apply. `ops.global_quantiles_refine` finds BOTH ranks in 4
+    fixed-memory bit-plane refinement passes shared across the two
+    quantiles (1 count + 4 refine = 5 corpus scans total, not 10;
+    2^16-bounded combiner histograms per unique candidate prefix);
+    nothing here scales with rows or distinct values. The single
+    pruned column re-streams per pass (no materialize: at corpus
+    scale even one float64 column is too big to pin)."""
     ds = _read(sf_dir, "events", ["value"])
-    p50 = ops.global_quantile_refine(ds, "value", 0.5)
-    p90 = ops.global_quantile_refine(ds, "value", 0.9)
+    p50, p90 = ops.global_quantiles_refine(ds, "value", (0.5, 0.9))
     return pa.table(
         {
             "q_label": pa.array(["p50", "p90"], type=pa.string()),

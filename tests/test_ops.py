@@ -697,3 +697,26 @@ def test_global_quantile_refine(ray_session):
     t = pa.table({"x": pa.array(list(v) + [None] * 50, type=pa.float64())})
     ds = rd.from_arrow(t).repartition(4)
     assert ops.global_quantile_refine(ds, "x", 0.5) == 50.0
+
+
+def test_global_quantiles_refine_shared_passes(ray_session):
+    """The multi-quantile variant (one shared count pass + 4 shared
+    refinement passes, unique-prefix deduped) returns exactly the
+    per-quantile results of the single-quantile wrapper."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray import ops
+
+    rng = np.random.default_rng(13)
+    vals = rng.normal(0.0, 1e4, 4_001)
+    ds = rd.from_arrow(pa.table({"x": vals})).repartition(7)
+    qs = (0.0, 0.25, 0.5, 0.9, 1.0)
+    got = ops.global_quantiles_refine(ds, "x", qs)
+    srt = np.sort(vals)
+    want = [srt[int(np.floor((len(vals) - 1) * q))] for q in qs]
+    assert got == want
+    # duplicate quantiles collapse to identical answers (prefix dedup)
+    assert ops.global_quantiles_refine(ds, "x", (0.5, 0.5)) == [want[2], want[2]]
+    assert ops.global_quantiles_refine(ds, "x", ()) == []
