@@ -44,7 +44,8 @@ BENCH_QUERIES = [
     "semdedup_embeddings",
     # round-5 additions: BPE train+encode, the end-to-end
     # corpus-embedding inference stage, and the fixed-memory
-    # bit-plane global quantile (4 refinement passes = 4 scans)
+    # bit-plane global quantile (p50+p90 share the passes: 1 count +
+    # 4 refinement = 5 scans total)
     "doc_bpe_tokens",
     "docs_embed_corpus",
     "events_value_quantiles_refine",
