@@ -24,10 +24,12 @@ bit-for-bit on the same encoded blobs:
     over 2^16 with +32768 rounding), identical on both sides.
 
 The ENCODER is the defining implementation (float64 fDCT is fine: the
-decoders consume its bytes, they never re-derive them). Unsupported
-shapes — progressive (SOF2), 12-bit, subsampled chroma, arithmetic
-coding, restart intervals — raise NotImplementedError per the repo's
-honest-stub convention; malformed/truncated streams raise ValueError.
+decoders consume its bytes, they never re-derive them). Supported
+stream shapes: 4:4:4 and 4:2:0 sampling, 1 or 3 components, restart
+intervals (DRI/RSTn). Unsupported — progressive (SOF2), 12-bit,
+4:2:2/other sampling, arithmetic coding — raise NotImplementedError
+per the repo's honest-stub convention; malformed/truncated streams
+raise ValueError.
 """
 
 from __future__ import annotations
@@ -209,10 +211,19 @@ class _BitWriter:
             if byte == 0xFF:  # byte stuffing
                 self.buf.append(0x00)
 
-    def done(self) -> bytes:
+    def align(self):
+        """Byte-align with 1-padding (before a restart marker)."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.put((1 << pad) - 1, pad)  # pad with 1s per spec
+            self.put((1 << pad) - 1, pad)
+
+    def raw_marker(self, byte2: int):
+        """Emit FF xx OUTSIDE entropy coding (no stuffing)."""
+        self.align()
+        self.buf += bytes([0xFF, byte2])
+
+    def done(self) -> bytes:
+        self.align()  # pad with 1s per spec
         return bytes(self.buf)
 
 
@@ -238,11 +249,18 @@ def _box_subsample(p: np.ndarray) -> np.ndarray:
     ).astype(np.uint8)
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85, subsample: bool = False) -> bytes:
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
     """Baseline sequential JFIF encode of an (h, w, 3) RGB or (h, w, 1)
     grayscale uint8 array, Annex-K Huffman tables. `subsample=True`
     emits 4:2:0 (Y at 2x2, box-mean chroma — the profile nearly all
-    real-world JPEGs use); default is 4:4:4."""
+    real-world JPEGs use); default is 4:4:4. `restart_interval=N`
+    emits a DRI segment and an RSTn marker every N MCUs (cameras do
+    this for error resilience; DC predictors reset at each marker)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim != 3 or img.shape[2] not in (1, 3):
         raise ValueError("encode_jpeg: need (h, w, 1|3) uint8")
@@ -317,8 +335,16 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsample: bool = False) -> 
 
     # T.81 MCU interleave: per component, blocks left-to-right then
     # top-to-bottom within the MCU
+    mcu_i = 0
+    rst = 0
     for mr in range(mcu_rows):
         for mc in range(mcu_cols):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.raw_marker(0xD0 + rst)  # RSTn, cycling 0..7
+                rst = (rst + 1) & 7
+                for ci in range(ncomp):
+                    pred[ci] = 0
+            mcu_i += 1
             for ci in range(ncomp):
                 hi, vi = sf[ci]
                 for by in range(vi):
@@ -348,6 +374,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsample: bool = False) -> 
         dht += [(0x01, DC_CHROMA), (0x11, AC_CHROMA)]
     for tc_th, (bits, vals) in dht:
         out.append(seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals)))
+    if restart_interval:
+        out.append(seg(0xFFDD, struct.pack(">H", restart_interval)))
     sos_comp = b"".join(
         struct.pack("BB", ci + 1, 0x00 if ci == 0 else 0x11) for ci in range(ncomp)
     )
@@ -387,6 +415,20 @@ class _BitReader:
         self.nbits -= n
         return out
 
+    def restart(self):
+        """Consume an RSTn marker: drop the 1-padding bits left in the
+        accumulator (always < 8 after a read), then the two marker
+        bytes. The caller resets the DC predictors."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("JPEG: expected restart marker")
+        self.pos += 2
+
 
 def _extend(v: int, cat: int) -> int:
     """Sign-extend a category-coded amplitude (spec F.2.2.1 EXTEND)."""
@@ -408,8 +450,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     """Baseline sequential JFIF decode to an (h, w, 3|1) uint8 array,
     integer-exact per the module contract (see header). Supports
     SOF0, 8-bit, 1 or 3 components, 4:4:4 or 4:2:0 sampling
-    (replication upsample), no restart intervals; other profiles
-    raise NotImplementedError."""
+    (replication upsample), restart intervals; other profiles raise
+    NotImplementedError."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("JPEG: bad SOI")
     pos = 2
@@ -417,6 +459,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     huff: dict[tuple, dict] = {}
     sof = None
     scan_comp = None
+    dri = 0
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("JPEG: marker desync")
@@ -459,8 +502,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 )
             sof = (h, w, comps)
         elif marker == 0xDD:  # DRI
-            if struct.unpack(">H", body[:2])[0]:
-                raise NotImplementedError("JPEG: restart intervals")
+            dri = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = body[0]
             scan_comp = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
@@ -494,8 +536,13 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         qtabs.append(qt[comps[ci][1]])
     pred = [0] * ncomp
     unzz = np.empty(64, dtype=np.int64)
+    mcu_i = 0
     for mr in range(mcu_rows):
         for mc in range(mcu_cols):
+            if dri and mcu_i and mcu_i % dri == 0:
+                br.restart()
+                pred = [0] * ncomp
+            mcu_i += 1
             for ci in range(ncomp):
                 hi, vi = sf[ci]
                 for by in range(vi):

@@ -7433,8 +7433,9 @@ ORACLE_SQL["docs_embed_corpus"] = (
 # deterministic blobs. The expected table is cached by existence: the
 # twin's pure-Python IDCT costs ~20 s for 500 images and its content
 # is a pure function of (n, fixture seed, codec spec) — bump the
-# filename suffix whenever that spec changes ('a' = 4:2:0 rotation).
-JPEG_ORACLE_PATH = "/tmp/kgray_oracle/jpeg_expected_500a.parquet"
+# filename suffix whenever that spec changes ('a' = 4:2:0 rotation,
+# 'b' = restart-interval rotation).
+JPEG_ORACLE_PATH = "/tmp/kgray_oracle/jpeg_expected_500b.parquet"
 
 
 def write_jpeg_expected(n: int = 500) -> str:
@@ -7457,9 +7458,11 @@ def q_multimodal_jpeg_features(sf_dir: str):
     the from-scratch encoder (quality rotates 95/85/75 by img_id so
     all three quant-table scalings are exercised; odd img_ids emit
     4:2:0 subsampled chroma — the real-world profile — and even ones
-    4:4:4), then decoded by the from-scratch integer-exact decoder
-    inside the actor-pool featurizer. Output attests the encoder's
-    byte stream length and the decoded-pixel feature norm per image."""
+    4:4:4; restart intervals rotate 0/2/5 MCUs so DRI/RSTn resync is
+    oracled too), then decoded by the from-scratch integer-exact
+    decoder inside the actor-pool featurizer. Output attests the
+    encoder's byte stream length and the decoded-pixel feature norm
+    per image."""
     import ray.data as _rd
 
     from .extras import multimodal
@@ -7476,6 +7479,7 @@ def q_multimodal_jpeg_features(sf_dir: str):
                 multimodal.decode_image(blob, fmt),
                 quality=(95, 85, 75)[i % 3],
                 subsample=(i % 2 == 1),
+                restart_interval=(0, 2, 5)[i % 3],
             )
             for i, blob, fmt in zip(
                 ids, b["image"].to_pylist(), b["format"].to_pylist()

@@ -44,37 +44,56 @@ def _prefix_dict(bits: list, vals: list) -> dict:
     return table
 
 
-def _bits_of_scan(data: bytes, start: int):
-    """Yield bits MSB-first from entropy-coded data, unstuffing FF00."""
-    i = start
-    n = len(data)
-    while i < n:
-        byte = data[i]
-        i += 1
-        if byte == 0xFF:
-            if i < n and data[i] == 0x00:
-                i += 1
-            else:
-                return  # a real marker ends the scan
-        for shift in (7, 6, 5, 4, 3, 2, 1, 0):
-            yield (byte >> shift) & 1
+class _TwinBits:
+    """MSB-first bit source over entropy-coded data: one byte at a
+    time exploded into a pending-bit list (vs the engine's integer
+    accumulator window), FF00 unstuffed, RSTn consumed on request."""
+
+    def __init__(self, data: bytes, start: int):
+        self.data = data
+        self.i = start
+        self.pending: list = []
+
+    def next_bit(self) -> int:
+        if not self.pending:
+            if self.i >= len(self.data):
+                raise ValueError("twin: scan exhausted")
+            byte = self.data[self.i]
+            self.i += 1
+            if byte == 0xFF:
+                if self.i < len(self.data) and self.data[self.i] == 0x00:
+                    self.i += 1
+                else:
+                    raise ValueError("twin: marker in scan")
+            self.pending = [(byte >> s) & 1 for s in (7, 6, 5, 4, 3, 2, 1, 0)]
+        return self.pending.pop(0)
+
+    def restart(self):
+        self.pending = []  # drop the 1-padding before the marker
+        if (
+            self.i + 2 > len(self.data)
+            or self.data[self.i] != 0xFF
+            or not (0xD0 <= self.data[self.i + 1] <= 0xD7)
+        ):
+            raise ValueError("twin: expected RST marker")
+        self.i += 2
 
 
-def _read_sym(bitgen, table: dict) -> int:
+def _read_sym(bits: _TwinBits, table: dict) -> int:
     key = ""
     for _ in range(16):
-        key += "1" if next(bitgen) else "0"
+        key += "1" if bits.next_bit() else "0"
         if key in table:
             return table[key]
     raise ValueError("twin: bad Huffman code")
 
 
-def _read_amp(bitgen, cat: int) -> int:
+def _read_amp(bits: _TwinBits, cat: int) -> int:
     if cat == 0:
         return 0
     v = 0
     for _ in range(cat):
-        v = (v << 1) | next(bitgen)
+        v = (v << 1) | bits.next_bit()
     return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
 
@@ -87,6 +106,7 @@ def decode_jpeg_twin(blob: bytes) -> np.ndarray:
     dims = None
     comp_q: list = []
     scan_tabs: list = []
+    dri = 0
     i = 2
     while True:
         if i + 4 > len(blob) or blob[i] != 0xFF:
@@ -127,6 +147,8 @@ def decode_jpeg_twin(blob: bytes) -> np.ndarray:
             if samps != [(1, 1)] * nc and samps != [(2, 2), (1, 1), (1, 1)]:
                 raise NotImplementedError("twin: 4:4:4 or 4:2:0 only")
             dims = (h, w, nc)
+        elif marker == 0xDD:
+            dri = (body[0] << 8) | body[1]
         elif marker in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("twin: baseline only")
         elif marker == 0xDA:
@@ -141,7 +163,7 @@ def decode_jpeg_twin(blob: bytes) -> np.ndarray:
     h, w, nc = dims
     max_h = max(s[0] for s in samps)
     max_v = max(s[1] for s in samps)
-    bitgen = _bits_of_scan(blob, i)
+    bitgen = _TwinBits(blob, i)
     mcu_rows = (h + 8 * max_v - 1) // (8 * max_v)
     mcu_cols = (w + 8 * max_h - 1) // (8 * max_h)
     planes = [
@@ -149,8 +171,13 @@ def decode_jpeg_twin(blob: bytes) -> np.ndarray:
         for hi, vi in samps
     ]
     pred = [0] * nc
+    n_mcu = 0
     for mby in range(mcu_rows):
         for mbx in range(mcu_cols):
+            if dri and n_mcu and n_mcu % dri == 0:
+                bitgen.restart()
+                pred = [0] * nc
+            n_mcu += 1
             for c in range(nc):
                 hi, vi = samps[c]
                 dc_t = huff[(0, scan_tabs[c] >> 4)]
@@ -235,7 +262,10 @@ def expected_jpeg_table(n: int):
         h = int.from_bytes(blob[8:12], "big")
         raw = np.frombuffer(blob[16:], dtype=np.uint8).reshape(h, w, 3)
         jblob = encode_jpeg(
-            raw, quality=(95, 85, 75)[i % 3], subsample=(i % 2 == 1)
+            raw,
+            quality=(95, 85, 75)[i % 3],
+            subsample=(i % 2 == 1),
+            restart_interval=(0, 2, 5)[i % 3],
         )
         img = decode_jpeg_twin(jblob)
         hist = np.zeros((3, 8), dtype=np.float64)

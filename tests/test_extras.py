@@ -888,6 +888,14 @@ def test_jpeg_roundtrip_and_profile_gates():
         out = jpeg.decode_jpeg(blob)
         err420 = np.abs(out.astype(int) - grad.astype(int)).max()
         assert out.shape == grad.shape and err420 <= 8, (sub_q, err420)
+    # restart intervals: RSTn markers + DC-predictor resets must be
+    # pixel-identical to the no-DRI stream (error resilience changes
+    # the byte stream, never the decode)
+    no_dri = jpeg.decode_jpeg(jpeg.encode_jpeg(grad, quality=90))
+    with_dri = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(grad, quality=90, restart_interval=2)
+    )
+    assert np.array_equal(no_dri, with_dri)
     # 4:2:2-style sampling (not 4:4:4 nor 4:2:0) still gates
     blob = bytearray(jpeg.encode_jpeg(grad))
     sof = blob.find(b"\xff\xc0")
@@ -912,7 +920,10 @@ def test_jpeg_twin_bit_parity():
     for i in range(24):
         img = mm.decode_image(base["image"][i].as_py(), "kgim")
         blob = jpeg.encode_jpeg(
-            img, quality=(95, 85, 75)[i % 3], subsample=(i % 2 == 1)
+            img,
+            quality=(95, 85, 75)[i % 3],
+            subsample=(i % 2 == 1),
+            restart_interval=(0, 2, 5)[i % 3],
         )
         assert np.array_equal(jpeg.decode_jpeg(blob), decode_jpeg_twin(blob)), i
     g = np.random.default_rng(5).integers(0, 256, (11, 19, 1), dtype=np.uint8)
