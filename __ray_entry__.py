@@ -93,7 +93,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # BEHIND the stale tail so they cannot displace a never-attested
     # entry from the window. They are builder-attested via the
     # full-registry drive (docs/full_drive_r5*.json) instead.
-    backlog = [n for n in ("multimodal_jpeg_features",) if n in q.QUERIES]
+    backlog = [
+        n
+        for n in ("multimodal_jpeg_features", "doc_compress_ratio")
+        if n in q.QUERIES
+    ]
     fresh = [
         n for n in q.QUERIES if n not in seen and n not in head and n not in backlog
     ]

@@ -7545,3 +7545,48 @@ SQL_MULTIMODAL_JPEG = (
 
 QUERIES["multimodal_jpeg_features"] = q_multimodal_jpeg_features
 ORACLE_SQL["multimodal_jpeg_features"] = SQL_MULTIMODAL_JPEG
+
+
+def q_doc_compress_ratio(sf_dir: str):
+    """X78: compressibility quality signal — per-doc zlib ratio in
+    integer basis points, with the Gopher-family keep rule (highly
+    compressible text is boilerplate/repetition; threshold 40.00%).
+    Pure map over the pruned (doc_id, text) read: no shuffle, no
+    state — the per-doc zlib call is an opaque CPU kernel like M1's
+    sha256, so the in-batch loop IS the vectorization unit. Output is
+    all-integer, oracled bit-exact against the sequential twin's
+    committed golden (reference_impl/sketch.py run_compress_ratio;
+    determinism = pinned zlib level + the same in-process stdlib)."""
+    import zlib
+
+    from reference_impl.sketch import COMPRESS_BPS_KEEP, COMPRESS_LEVEL
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def ratio(b: pa.Table) -> pa.Table:
+        raws, zs = [], []
+        for t in b["text"].to_pylist():
+            raw = (t or "").encode("utf-8")
+            raws.append(len(raw))
+            zs.append(len(zlib.compress(raw, COMPRESS_LEVEL)))
+        raw_a = np.asarray(raws, dtype=np.int64)
+        z_a = np.asarray(zs, dtype=np.int64)
+        bps = (z_a * 10000) // np.maximum(raw_a, 1)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "raw_bytes": pa.array(raw_a),
+                "zlib_bytes": pa.array(z_a),
+                "compress_bps": pa.array(bps),
+                "keep": pa.array(bps >= COMPRESS_BPS_KEEP),
+            }
+        )
+
+    return ds.map_batches(ratio, batch_size=None, batch_format="pyarrow")
+
+
+QUERIES["doc_compress_ratio"] = q_doc_compress_ratio
+ORACLE_SQL["doc_compress_ratio"] = (
+    "SELECT doc_id, raw_bytes, zlib_bytes, compress_bps, keep "
+    f"FROM read_parquet('{_GOLDEN_DIR}/sf001_compress_ratio.parquet')"
+)

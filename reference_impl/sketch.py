@@ -776,3 +776,39 @@ def run_doc_embed(docs: pa.Table) -> pa.Table:
             "emb_c0": pa.array(out_c0, pa.float64()),
         }
     )
+
+
+COMPRESS_LEVEL = 6  # zlib level both sides pin (ratio is level-dependent)
+COMPRESS_BPS_KEEP = 4000  # keep docs with zlib_bytes/raw_bytes >= 40.00%
+
+
+def run_compress_ratio(docs: pa.Table) -> pa.Table:
+    """Sequential compressibility-signal twin (doc_compress_ratio):
+    per-doc zlib ratio in integer basis points — a repetition/quality
+    filter (highly compressible text is boilerplate or repetition; the
+    Gopher-family pipelines threshold on it). All output columns are
+    integers/bools, so the golden comparison is bit-exact by
+    construction; zlib is the shared stdlib kernel (determinism comes
+    from the pinned level + identical library in-process), while the
+    orchestration differs from the engine's batched Arrow path."""
+    import zlib
+
+    ids = docs["doc_id"].to_pylist()
+    out_raw, out_z, out_bps, out_keep = [], [], [], []
+    for t in docs["text"].to_pylist():
+        raw = (t or "").encode("utf-8")
+        z = zlib.compress(raw, COMPRESS_LEVEL)
+        bps = (len(z) * 10000) // max(1, len(raw))
+        out_raw.append(len(raw))
+        out_z.append(len(z))
+        out_bps.append(bps)
+        out_keep.append(bps >= COMPRESS_BPS_KEEP)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "raw_bytes": pa.array(out_raw, type=pa.int64()),
+            "zlib_bytes": pa.array(out_z, type=pa.int64()),
+            "compress_bps": pa.array(out_bps, type=pa.int64()),
+            "keep": pa.array(out_keep, type=pa.bool_()),
+        }
+    )

@@ -84,6 +84,7 @@ def main() -> None:
         ("sf001_knn_graph", sketch.run_knn_graph(emb)),
         ("sf001_bpe_tokens", sketch.run_bpe_tokens(docs)),
         ("sf001_doc_embed", sketch.run_doc_embed(docs)),
+        ("sf001_compress_ratio", sketch.run_compress_ratio(docs)),
     ]:
         _write(name, table)
 
