@@ -259,13 +259,18 @@ class ImageFeaturizer:
             hist /= max(1.0, hist.sum())
             feats.append((hist.reshape(-1) @ self.proj).round(6).tolist())
             ok.append(True)
-        return pa.table(
-            {
-                "img_id": ids,
-                "feature": pa.array(feats, type=pa.list_(pa.float64())),
-                "decode_ok": pa.array(ok, type=pa.bool_()),
-            }
-        )
+        out = {
+            "img_id": ids,
+            "feature": pa.array(feats, type=pa.list_(pa.float64())),
+            "decode_ok": pa.array(ok, type=pa.bool_()),
+        }
+        # pass through any extra side columns (e.g. the JPEG query's
+        # encoder byte counts) — saves the fixed-cost hash join that
+        # re-attaching them downstream would need
+        for name in batch.column_names:
+            if name not in ("img_id", "image", "format", "width", "height"):
+                out[name] = batch[name]
+        return pa.table(out)
 
 
 def expected_features_table(n: int, seed: int = 42, feat_dim: int = FEAT_DIM) -> pa.Table:

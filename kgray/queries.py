@@ -7511,21 +7511,17 @@ def q_multimodal_jpeg_features(sf_dir: str):
         return pa.table(
             {
                 "img_id": b["img_id"],
+                "jpeg_bytes": b["jpeg_bytes"],
                 "decode_ok": b["decode_ok"],
                 "feat_norm": pa.array(norms, type=pa.float64()),
             }
         )
 
-    # jpeg_bytes rides the encode stage; decode features ride the
-    # featurizer — distributed hash join on img_id, bounded collect
-    joined = ops.hash_join(
-        ds.select_columns(["img_id", "jpeg_bytes"]),
-        feats.map_batches(flatten, batch_format="pyarrow"),
-        on=("img_id",),
-        num_partitions=ops.default_join_partitions(),
-    )
+    # jpeg_bytes rides the encode stage THROUGH the featurizer's
+    # side-column passthrough — no hash join (its fixed per-partition
+    # aggregator startup, ~2.6 s on this host, dominated the query)
     return ops.collect_table(
-        joined,
+        feats.map_batches(flatten, batch_format="pyarrow"),
         schema=pa.schema(
             [
                 ("img_id", pa.int64()),
