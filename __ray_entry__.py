@@ -89,20 +89,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ]
     head = smoke + priority
     # Queries added AFTER the round-5 window was sized (head + the 43
-    # r1-r4-never-checked entries fill all 50 slots exactly): park them
-    # BEHIND the stale tail so they cannot displace a never-attested
-    # entry from the window. They are builder-attested via the
-    # full-registry drive (docs/full_drive_r5*.json) instead.
-    backlog = [
+    # r1-r4-never-checked entries fill all 50 slots exactly): order
+    # them LAST among the fresh entries, so they cannot displace a
+    # longer-waiting never-attested entry from THIS round's window but
+    # still rotate in ahead of the already-checked stale tail in any
+    # later round (meanwhile they are builder-attested via the
+    # full-registry drives docs/full_drive_r5*.json).
+    late = [
         n
         for n in ("multimodal_jpeg_features", "doc_compress_ratio")
-        if n in q.QUERIES
+        if n in q.QUERIES and n not in seen
     ]
     fresh = [
-        n for n in q.QUERIES if n not in seen and n not in head and n not in backlog
-    ]
-    stale = [n for n in q.QUERIES if n in seen and n not in head and n not in backlog]
-    return {n: q.QUERIES[n] for n in head + fresh + stale + backlog}
+        n for n in q.QUERIES if n not in seen and n not in head and n not in late
+    ] + late
+    stale = [n for n in q.QUERIES if n in seen and n not in head]
+    return {n: q.QUERIES[n] for n in head + fresh + stale}
 
 
 def oracle_sql() -> dict[str, str]:

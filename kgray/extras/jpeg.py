@@ -222,6 +222,10 @@ class _BitWriter:
             self.buf.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.buf.append(0x00)
+        # keep only the live low bits: an unmasked Python-int
+        # accumulator grows with every bit ever written, making the
+        # entropy loop O(scan_bytes^2) on large images
+        self.acc &= (1 << self.nbits) - 1
 
     def align(self):
         """Byte-align with 1-padding (before a restart marker)."""
@@ -425,6 +429,7 @@ class _BitReader:
             self.nbits += 8
         out = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
         self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1  # same O(n^2) guard as _BitWriter.put
         return out
 
     def peek16(self) -> int:
@@ -452,6 +457,7 @@ class _BitReader:
         if n > self.nbits:
             raise ValueError("JPEG: scan data exhausted")
         self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
     def restart(self):
         """Consume an RSTn marker: drop the 1-padding bits left in the
@@ -486,7 +492,17 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     integer-exact per the module contract (see header). Supports
     SOF0, 8-bit, 1 or 3 components, 4:4:4 or 4:2:0 sampling
     (replication upsample), restart intervals; other profiles raise
-    NotImplementedError."""
+    NotImplementedError. Malformed streams always surface as
+    ValueError — length-consistent-but-short segment bodies would
+    otherwise leak struct.error/IndexError past the featurizer's
+    error-column convention and kill the whole Ray task."""
+    try:
+        return _decode_jpeg_impl(blob)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"JPEG: malformed stream ({e})") from None
+
+
+def _decode_jpeg_impl(blob: bytes) -> np.ndarray:
     if blob[:2] != b"\xff\xd8":
         raise ValueError("JPEG: bad SOI")
     pos = 2

@@ -266,9 +266,14 @@ class ImageFeaturizer:
         }
         # pass through any extra side columns (e.g. the JPEG query's
         # encoder byte counts) — saves the fixed-cost hash join that
-        # re-attaching them downstream would need
+        # re-attaching them downstream would need. Never overwrite a
+        # column this stage just computed: a stale upstream `feature`
+        # or `decode_ok` would silently clobber the fresh values.
         for name in batch.column_names:
-            if name not in ("img_id", "image", "format", "width", "height"):
+            if (
+                name not in ("img_id", "image", "format", "width", "height")
+                and name not in out
+            ):
                 out[name] = batch[name]
         return pa.table(out)
 

@@ -7430,12 +7430,32 @@ ORACLE_SQL["docs_embed_corpus"] = (
 # INDEPENDENT sequential twin (reference_impl/jpeg_twin.py: bitstring
 # reader, prefix-dict Huffman, four-loop IDCT, per-pixel color)
 # re-implements; the oracle parquet is the twin's decode of the same
-# deterministic blobs. The expected table is cached by existence: the
-# twin's pure-Python IDCT costs ~20 s for 500 images and its content
-# is a pure function of (n, fixture seed, codec spec) — bump the
-# filename suffix whenever that spec changes ('a' = 4:2:0 rotation,
-# 'b' = restart-interval rotation).
-JPEG_ORACLE_PATH = "/tmp/kgray_oracle/jpeg_expected_500b.parquet"
+# deterministic blobs. The expected table is cached (the twin's
+# pure-Python IDCT costs ~20 s for 500 images), and its content is a
+# pure function of (codec source, twin source, fixture/featurizer
+# constants) — so the cache key IS a hash of those sources: any edit
+# to either implementation rotates the /tmp filename and forces a
+# regeneration instead of silently comparing against a stale oracle.
+
+
+def _jpeg_oracle_path() -> str:
+    import hashlib
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    # by path, not by import: reference_impl must never be imported at
+    # kgray module scope (Ray workers import kgray.queries)
+    for src in (
+        os.path.join(here, "extras", "jpeg.py"),
+        os.path.join(os.path.dirname(here), "reference_impl", "jpeg_twin.py"),
+    ):
+        with open(src, "rb") as f:
+            h.update(f.read())
+    return f"/tmp/kgray_oracle/jpeg_expected_500_{h.hexdigest()[:12]}.parquet"
+
+
+JPEG_ORACLE_PATH = _jpeg_oracle_path()
 
 
 def write_jpeg_expected(n: int = 500) -> str:

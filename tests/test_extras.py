@@ -967,3 +967,67 @@ def test_featurizer_decodes_jpeg(ray_session):
     )
     assert out["decode_ok"][:4].all() and not out["decode_ok"][4]
     assert all(np.linalg.norm(np.array(out["feature"][i])) > 0 for i in range(4))
+
+
+def test_jpeg_review_fixes():
+    """Round-5 review regressions: (a) length-consistent-but-short
+    segment bodies surface as ValueError (struct.error/IndexError
+    would escape the featurizer's error-column catch and kill the Ray
+    task); (b) the bit accumulators stay bounded (unmasked Python-int
+    accumulators made entropy coding O(scan_bytes^2) on big images)."""
+    import numpy as np
+    import pytest
+
+    from kgray.extras import jpeg
+
+    grad = (
+        np.add.outer(np.arange(24) * 3, np.arange(17) * 2)[..., None]
+        + np.array([0, 40, 90])
+    ).astype(np.uint8)
+    blob = bytearray(jpeg.encode_jpeg(grad))
+    sof = bytes(blob).find(b"\xff\xc0")
+    blob[sof + 3] = 5  # SOF length 5: body shorter than the 6-byte header read
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(bytes(blob))
+    # bounded accumulators: a 256x256 image round-trips in well under
+    # a second (the quadratic version stalled for minutes here) and
+    # the reader's live window never exceeds its byte loads
+    big = np.random.default_rng(17).integers(0, 256, (256, 256, 3), dtype=np.uint8)
+    import time
+
+    t0 = time.monotonic()
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(big, quality=85, subsample=True))
+    assert out.shape == big.shape
+    assert time.monotonic() - t0 < 5.0
+
+
+def test_featurizer_passthrough_never_clobbers(ray_session):
+    """A side column named like a computed output (stale upstream
+    `decode_ok`) must NOT overwrite the featurizer's fresh values."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgray.extras import jpeg, multimodal as mm
+
+    base = mm.make_image_table(2)
+    blobs = [
+        jpeg.encode_jpeg(mm.decode_image(base["image"][i].as_py(), "kgim"))
+        for i in range(2)
+    ]
+    t = pa.table(
+        {
+            "img_id": pa.array([0, 1], pa.int64()),
+            "image": pa.array(blobs, pa.binary()),
+            "format": pa.array(["jpeg", "jpeg"]),
+            "decode_ok": pa.array([False, False]),  # stale upstream flag
+            "note": pa.array(["a", "b"]),  # genuine side column
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .map_batches(mm.ImageFeaturizer, concurrency=1, batch_size=4, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("img_id", ignore_index=True)
+    )
+    assert out["decode_ok"].all()  # computed True wins over stale False
+    assert list(out["note"]) == ["a", "b"]  # real side column rides through
