@@ -97,7 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # full-registry drives docs/full_drive_r5*.json).
     late = [
         n
-        for n in ("multimodal_jpeg_features", "doc_compress_ratio")
+        for n in ("multimodal_jpeg_features", "doc_compress_ratio", "user_decayed_value")
         if n in q.QUERIES and n not in seen
     ]
     fresh = [

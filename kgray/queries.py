@@ -7606,3 +7606,59 @@ ORACLE_SQL["doc_compress_ratio"] = (
     "SELECT doc_id, raw_bytes, zlib_bytes, compress_bps, keep "
     f"FROM read_parquet('{_GOLDEN_DIR}/sf001_compress_ratio.parquet')"
 )
+
+
+def q_user_decayed_value(sf_dir: str):
+    """X79: recency-decayed per-user activity score with an EXACT
+    half-life — value halves per hour of age via integer right shift
+    (decayed = cents >> min(62, age_hours)), so both sides compute
+    identical int64s and no float pow() ever enters the oracle.
+    Corpus-max timestamp is one per-block-max combiner scan; the
+    decay+sum is one map + a combiner groupby — two scans total,
+    nothing driver-side beyond O(blocks) block maxima."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def block_max(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"mt": pa.array([pc.max(b["ts"]).as_py()])})
+
+    mt = max(
+        r["mt"]
+        for r in ds.map_batches(
+            block_max, batch_size=None, batch_format="pyarrow"
+        ).take_all()
+    )
+    mt_us = int(mt.timestamp() * 1_000_000) if hasattr(mt, "timestamp") else int(mt)
+
+    def decay(b: pa.Table) -> pa.Table:
+        ts_us = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        age_h = (mt_us - ts_us) // 3_600_000_000
+        shift = np.minimum(age_h, 62)
+        cents = ops.cents(b["value"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "decayed_cents": pa.array(cents >> shift, type=pa.int64()),
+            }
+        )
+
+    return ops.grouped_sum_count(
+        ds.map_batches(decay, batch_size=None, batch_format="pyarrow"),
+        keys=["user_id"],
+        sums=[("decayed_cents", "decayed_cents")],
+        count_alias="n_events",
+    )
+
+
+QUERIES["user_decayed_value"] = q_user_decayed_value
+ORACLE_SQL["user_decayed_value"] = """
+WITH m AS (SELECT MAX(ts) AS mt FROM events)
+SELECT user_id,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           >> LEAST(62, CAST(FLOOR(EXTRACT(EPOCH FROM mt - ts) / 3600) AS BIGINT))
+       ) AS BIGINT) AS decayed_cents,
+       COUNT(*) AS n_events
+FROM events, m
+GROUP BY user_id
+"""
